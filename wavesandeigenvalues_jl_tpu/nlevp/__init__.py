@@ -1,0 +1,28 @@
+"""Domain-agnostic nonlinear-eigenvalue (NLEVP) engine.
+
+TPU-native counterpart of the reference's NLEVP module
+(/root/reference/src/NLEVP/): operator families, coefficient-function
+algebra, local and global eigensolvers, arbitrary-order perturbation theory
+with Padé summation, persistence, and a gallery of benchmark problems."""
+from .algebra import (ExpAz, ExpDelay, ExpPM, OneMinus, Pow, Product,
+                      ScalarFunc, StateSpace, SumYExpIKX, Wrapped, ZTimesG,
+                      exp_az2mzit, exp_delay, generate_1_gz, generate_gz_hz,
+                      generate_stsp_z, generate_sum_y_exp_ikx, generate_z_g_z,
+                      pow0, pow1, pow2, pow_a, tau_delay)
+from .family import AUX_OPERATOR, OperatorFamily, Solution, Term, project
+from .pade import (Polynomial, RationalPolynomial, conv_radius, estimate_pol,
+                   pade, poly_roots, polyval)
+from .perturbation import (multi_index_table, part2mult, partitions, perturb,
+                           perturb_fast, perturb_norm)
+from .persist import load_family, read_solution, save_family, save_solution
+from .solvers import (beyn, compute_moment_matrices, count_poles_and_zeros,
+                      decode_error_flag, gauss_nodes, generate_subspace,
+                      householder, householder_update, initialize_V, inpoly,
+                      inveriter, lancaster, moments2eigs, mslp, nicoud,
+                      padesolve, picard, pos_test, rf2s, solve, traceiter, wn)
+from . import gallery
+
+# reference-compatible aliases
+LinearOperatorFamily = OperatorFamily
+
+__all__ = [n for n in dir() if not n.startswith("_")]

@@ -1,0 +1,57 @@
+"""Global configuration for the TPU-native waves/eigenvalues framework.
+
+The framework runs in two numeric regimes:
+
+* **reference precision** (complex128) — available on CPU backends and used
+  for all correctness-critical orchestration (NLEVP outer iterations,
+  perturbation recurrences, Padé algebra).
+* **device precision** (complex64 / float32-pair / float64-pair) — used by
+  the TPU compute kernels.  TPUs in this deployment compile ``complex64``
+  natively but reject ``complex128``; ``float64`` is emulated.  High accuracy
+  on TPU is recovered through mixed-precision iterative refinement
+  (see :mod:`..ops.refine`).
+
+Reference behaviour being reproduced: WavesAndEigenvalues.jl works in
+``ComplexF64`` throughout (e.g. /root/reference/src/NLEVP/LinOpFam.jl:133).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+# Enable x64 so the CPU path matches the reference's ComplexF64 semantics.
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+#: dtype used by the orchestration layer (matches the reference).
+CDTYPE = np.complex128
+#: real counterpart.
+RDTYPE = np.float64
+
+#: dtype used on accelerators that cannot compile complex128.
+DEVICE_CDTYPE = np.complex64
+
+#: index dtype for sparse structures.
+IDTYPE = np.int32
+
+
+def default_backend() -> str:
+    """The JAX backend currently in use ('cpu', 'tpu', 'axon', ...)."""
+    return jax.default_backend()
+
+
+def on_tpu() -> bool:
+    plat = jax.devices()[0].platform
+    return plat in ("tpu", "axon")
+
+
+def device_complex_dtype():
+    """Complex dtype safe to compile on the current default device."""
+    return DEVICE_CDTYPE if on_tpu() else CDTYPE
+
+
+#: perturbation order for which multi-index tables are pre-generated
+#: (reference: deps/build.jl:4-11, env JULIA_WAE_PERT_ORDER, default 16).
+PERT_ORDER = int(os.environ.get("WAE_TPU_PERT_ORDER", "16"))
