@@ -1,0 +1,133 @@
+"""Performance benchmark — prints ONE JSON line.
+
+Metric: sparse operator application throughput (nnz/s per chip) of the
+assembled thermoacoustic Helmholtz operator, measured on the Pallas BSR
+SpMM kernel (128 RHS — the Beyn/block-Arnoldi panel shape) after
+Cuthill–McKee reordering.  ``vs_baseline`` compares against the
+reference's compute model: single-core host CSR products of the same
+operator on the same panel (WavesAndEigenvalues.jl runs all SpMV through
+single-threaded SuiteSparse/Julia kernels; the reference publishes no
+wall-clock numbers — BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def build_operator():
+    """Assemble the Rijke-tube Helmholtz operator on a generated cylinder
+    mesh sized so the RHS panel is VMEM-resident for the Pallas kernel
+    (≈7.4k DOF, the Bloch-reduced-sector / per-chip-shard regime)."""
+    from wavesandeigenvalues_jl_tpu.mesh.generate import rijke_mesh
+    from wavesandeigenvalues_jl_tpu.models import discretize
+
+    mesh = rijke_mesh(n_rings=4, nz_cold=58, nz_hot=58)
+    gamma, R, Tu, Tb = 1.4, 287.05, 300.0, 1200.0
+    c = mesh.generate_field(
+        lambda x, y, z: np.where(z < 0, np.sqrt(gamma * R * Tu),
+                                 np.sqrt(gamma * R * Tb)))
+    dscrp = {"Interior": ("interior", ()),
+             "Outlet": ("admittance", ("Y", 1e15))}
+    L = discretize(mesh, dscrp, c)
+    L.params["ω"] = 2 * np.pi * 300.0
+    A = L.assemble({})
+    return A
+
+
+def main():
+    import jax
+
+    from wavesandeigenvalues_jl_tpu.ops.device import BsrOperator
+    from wavesandeigenvalues_jl_tpu.ops.pallas_spmv import (PallasBsrSpmm,
+                                                            bsr_spmm_xla)
+    from wavesandeigenvalues_jl_tpu.ops.reorder import (bandwidth,
+                                                        cuthill_mckee,
+                                                        permute_csr)
+
+    backend = jax.devices()[0].platform
+    A = build_operator()
+    n = A.shape[0]
+    nnz = A.nnz
+    perm = cuthill_mckee(A)
+    Ar = permute_csr(A, perm)
+
+    NRHS = 128
+    rng = np.random.default_rng(0)
+    X = (rng.standard_normal((n, NRHS))
+         + 1j * rng.standard_normal((n, NRHS))).astype(np.complex64)
+
+    # --- device path: Pallas BSR SpMM (XLA fallback off-TPU) -------------
+    bsr = BsrOperator.from_csr(Ar, bs=128)
+    use_pallas = backend in ("tpu", "axon")
+    if use_pallas:
+        op = PallasBsrSpmm(bsr, nrhs=NRHS)
+        apply_split = op.apply_split
+        panels = op.split_panels(X)
+    else:
+        f = bsr_spmm_xla(bsr)
+        apply_split = f.apply_split
+        Xp = np.zeros((bsr.n, NRHS), np.complex64)
+        Xp[:n] = X
+        Xb = Xp.reshape(-1, bsr.bs, NRHS)
+        panels = (np.ascontiguousarray(Xb.real).astype(np.float32),
+                  np.ascontiguousarray(Xb.imag).astype(np.float32))
+        import jax.numpy as jnp
+        panels = (jnp.asarray(panels[0]), jnp.asarray(panels[1]))
+
+    # warmup/compile
+    out = apply_split(*panels)
+    jax.block_until_ready(out)
+    reps = 50
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = apply_split(*panels)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    device_nnz_per_s = nnz * NRHS / dt
+
+    # --- reference-model baseline: single-core host CSR panel product
+    # (optimized compiled CSR kernels, the engine class the reference
+    # drives through Julia/SuiteSparse) --------------------------------
+    import scipy.sparse as sp
+    Ah = sp.csr_matrix((Ar.data, Ar.indices, Ar.indptr), shape=Ar.shape)
+    Yh = Ah @ X  # warm
+    t0 = time.perf_counter()
+    host_reps = 0
+    while time.perf_counter() - t0 < 1.0:
+        Yh = Ah @ X
+        host_reps += 1
+    host_dt = (time.perf_counter() - t0) / host_reps
+    host_nnz_per_s = nnz * NRHS / host_dt
+
+    result = {
+        "metric": "helmholtz_operator_spmm128_nnz_per_s_per_chip",
+        "value": device_nnz_per_s,
+        "unit": "nnz/s",
+        "vs_baseline": device_nnz_per_s / host_nnz_per_s,
+        "extra": {
+            "backend": backend,
+            "kernel": "pallas_bsr" if use_pallas else "xla_bsr",
+            "dim": n,
+            "nnz": nnz,
+            "nrhs": NRHS,
+            "bandwidth_after_cmk": bandwidth(Ar),
+            "bsr_blocks": bsr.blocks.shape[0] * bsr.blocks.shape[1],
+            "bsr_fill": bsr.fill_ratio,
+            "device_ms_per_apply": dt * 1e3,
+            "host_baseline_nnz_per_s": host_nnz_per_s,
+            "effective_tflops": 8e-12 * np.count_nonzero(bsr.block_mask)
+            * bsr.bs ** 2 * NRHS / dt,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,7 +3,7 @@ multi-chip sharding paths are exercised without TPU hardware, and enable
 x64 for reference-precision (complex128) numerics."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,3 +12,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# The environment's axon sitecustomize pins jax_platforms="axon,cpu" at
+# interpreter start; force the CPU backend (with the 8 virtual devices
+# from XLA_FLAGS) for the test suite.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8, jax.devices()

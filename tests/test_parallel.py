@@ -1,0 +1,110 @@
+"""Distributed layer tests on the 8-virtual-device CPU mesh: partitioned
+halo-exchange SpMV, family application, sharded Beyn moments."""
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from wavesandeigenvalues_jl_tpu.nlevp import beyn, gallery
+from wavesandeigenvalues_jl_tpu.ops.sparse import CSR
+from wavesandeigenvalues_jl_tpu.parallel import (batched_moments,
+                                                 beyn_batched, dist_dot,
+                                                 make_dist_spmv,
+                                                 partition_rows,
+                                                 partition_stack)
+
+
+def banded_matrix(n=257, seed=0, band=9):
+    rng = np.random.default_rng(seed)
+    A = np.zeros((n, n), complex)
+    for k in range(-band // 2, band // 2 + 1):
+        d = rng.standard_normal(n - abs(k)) + 1j * rng.standard_normal(n - abs(k))
+        A += np.diag(d, k)
+    return A
+
+
+@pytest.fixture(scope="module")
+def row_mesh():
+    return Mesh(np.array(jax.devices()), ("row",))
+
+
+def test_partition_spmv_matches_dense(row_mesh):
+    A = banded_matrix(257)
+    Acsr = CSR.from_dense(A)
+    part = partition_rows(Acsr, row_mesh.shape["row"], reorder=True)
+    spmv, shard, unshard = make_dist_spmv(part, row_mesh)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(257) + 1j * rng.standard_normal(257)
+    y = unshard(spmv(shard(x)))
+    assert np.allclose(y, A @ x, atol=1e-12)
+
+
+def test_partition_unstructured_spmv(row_mesh):
+    """Unstructured FEM-like sparsity (random pattern) still works — CMK
+    reordering bounds the halo."""
+    rng = np.random.default_rng(3)
+    n = 190
+    A = np.zeros((n, n), complex)
+    for i in range(n):
+        for j in rng.choice(n, 4):
+            A[i, j] = rng.standard_normal() + 1j * rng.standard_normal()
+        A[i, i] += 1.0
+    Acsr = CSR.from_dense(A)
+    part = partition_rows(Acsr, 8)
+    spmv, shard, unshard = make_dist_spmv(part, row_mesh)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    y = unshard(spmv(shard(x)))
+    assert np.allclose(y, A @ x, atol=1e-11)
+
+
+def test_partition_stack_family(row_mesh):
+    """Distributed family application: coeffs ⊗ stacked values + halo SpMV
+    equals L(z) @ x."""
+    L, grid = gallery.rijke_tube(100)
+    part = partition_stack(L._stack(), 8)
+    spmv, shard, unshard = make_dist_spmv(part, row_mesh)
+    z = 1.1 + 0.4j
+    coeffs = L.coefficients({})  # uses current params; set ω first
+    L.params["ω"] = z
+    coeffs = L.coefficients({})
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(L.size) + 1j * rng.standard_normal(L.size)
+    y = unshard(spmv(shard(x), coeffs))
+    y_ref = L(z) @ x
+    assert np.allclose(y, y_ref, rtol=1e-10, atol=1e-10)
+
+
+def test_dist_dot(row_mesh):
+    n = 8 * 13
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    y = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    xs = jax.device_put(x, NamedSharding(row_mesh, P("row")))
+    ys = jax.device_put(y, NamedSharding(row_mesh, P("row")))
+    d = np.complex128(dist_dot(xs, ys, row_mesh))
+    assert abs(d - np.vdot(x, y)) < 1e-12 * abs(np.vdot(x, y))
+
+
+def test_batched_moments_match_host():
+    """Device-batched moment matrices equal the host quadrature loop."""
+    from wavesandeigenvalues_jl_tpu.nlevp.solvers import \
+        compute_moment_matrices
+    T = gallery.qep3()
+    Gamma = [-2 - 2j, 2 - 2j, 2 + 2j, -2 + 2j]
+    A_host = compute_moment_matrices(T, Gamma, l=3, K=1, N=16)
+    A_dev = batched_moments(T, Gamma, l=3, K=1, N=16, dtype=np.complex128)
+    assert np.allclose(A_dev, A_host, rtol=1e-9, atol=1e-9)
+
+
+def test_beyn_batched_sharded():
+    """Shift-sharded Beyn over the 8-device mesh reproduces the QEP
+    spectrum."""
+    mesh = Mesh(np.array(jax.devices()), ("shift",))
+    T = gallery.qep3()
+    Gamma = [-2 - 2j, 2 - 2j, 2 + 2j, -2 + 2j]
+    Om, P = beyn_batched(T, Gamma, l=6, N=32, mesh=mesh,
+                         dtype=np.complex128)
+    for target in (1 / 3, 0.5, 1.0, 1j, -1j):
+        assert np.min(np.abs(Om - target)) < 1e-8, target
