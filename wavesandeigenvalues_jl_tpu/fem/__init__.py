@@ -1,5 +1,6 @@
 from .assembly import aggregate_elements, scatter_matrix, scatter_vector
+from .getters import get_n_grad_p, get_p
 from . import elements
 
 __all__ = ["aggregate_elements", "scatter_matrix", "scatter_vector",
-           "elements"]
+           "elements", "get_p", "get_n_grad_p"]

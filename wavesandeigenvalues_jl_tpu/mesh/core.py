@@ -148,13 +148,31 @@ class Mesh:
     # -- topology -----------------------------------------------------------
     def collect_lines(self):
         """Populate ``lines`` with the unique edges of all tetrahedra —
-        the P2 edge-DOF index space (collect_lines!, Meshutils.jl:831-848)."""
-        if len(self.lines) > 0:
-            return self.lines
+        the P2 edge-DOF index space (collect_lines!, Meshutils.jl:831-848).
+
+        Pre-existing line elements (e.g. gmsh curve groups) are kept and
+        merged; dimension-1 domain indices are remapped to the dedup'd
+        store."""
         t = self.tetrahedra
         edges = np.concatenate([t[:, [0, 1]], t[:, [0, 2]], t[:, [0, 3]],
                                 t[:, [1, 2]], t[:, [1, 3]], t[:, [2, 3]]])
-        self.lines, _ = unique_simplices(np.sort(edges, axis=1))
+        if len(self.tetrahedra) == 0 and len(self.triangles) > 0:
+            tr = self.triangles
+            edges = np.concatenate([tr[:, [0, 1]], tr[:, [0, 2]],
+                                    tr[:, [1, 2]]])
+        n_old = len(self.lines)
+        if n_old > 0:
+            merged = np.concatenate([self.lines, edges])
+            uniq, inv = unique_simplices(merged)
+            if len(uniq) == n_old:
+                return self.lines  # already complete
+            self.lines = uniq
+            for dd in self.domains.values():
+                if dd["dimension"] == 1 and len(dd["simplices"]):
+                    dd["simplices"] = np.unique(
+                        inv[np.asarray(dd["simplices"], dtype=np.int64)])
+        else:
+            self.lines, _ = unique_simplices(np.sort(edges, axis=1))
         return self.lines
 
     def edge_indices(self, simplices_edges: np.ndarray) -> np.ndarray:

@@ -30,8 +30,8 @@ def read_mesh(file_name: str, scale: float = 1.0) -> Mesh:
             raw = read_msh2(file_name)
     elif ext in ("nas", "bdf"):
         raw = read_nastran(file_name)
-    elif ext in ("cas", "msh2"):
-        raise ValueError("ANSYS fluent reader: use read_fluent directly")
+    elif ext in ("cas", "flu"):
+        raw = read_ansys(file_name)
     else:
         raise ValueError(f"mesh type .{ext} not supported")
     points, lines, triangles, tetrahedra, domains = raw
@@ -259,4 +259,84 @@ def read_nastran(file_name: str):
             np.asarray(tetrahedra, np.int64).reshape(-1, 4), domains)
 
 
-__all__ = ["read_mesh", "read_msh4", "read_msh2", "read_nastran"]
+def read_ansys(file_name: str):
+    """ANSYS Fluent ASCII mesh (.cas/.msh scheme sections)
+    (read_ansys, Meshutils.jl:1239-1341).
+
+    Sections parsed: ``(10 …)`` nodes, ``(13 …)`` triangular faces with
+    left/right cell adjacency (cells are reconstructed as the union of
+    their faces' points — tetrahedra have exactly 4 distinct points),
+    ``(12 …)`` cell zones, ``(45 …)`` zone names.  Boundary faces
+    (one adjacent cell id 0) become surface triangles; boundary face zones
+    become dimension-2 domains, cell zones dimension-3 domains."""
+    points = None
+    cell_pts: List[set] = []
+    triangles: List[List[int]] = []
+    tri_zone: List[tuple] = []
+    cell_zones: Dict[str, np.ndarray] = {}
+    names: Dict[str, str] = {}
+
+    with open(file_name) as fid:
+        it = iter(fid)
+        for line in it:
+            s = line.split()
+            if not s:
+                continue
+            if s[0] == "(10" and s[1] == "(0":
+                points = np.zeros((3, int(s[3], 16)))
+            elif s[0] == "(10":
+                first, last = int(s[2], 16), int(s[3], 16)
+                for idx in range(first, last + 1):
+                    xyz = [float(x) for x in next(it).split()[:3]]
+                    points[:len(xyz), idx - 1] = xyz
+            elif s[0] == "(12" and s[1] == "(0":
+                n_cells = int(s[3], 16)
+                cell_pts = [set() for _ in range(n_cells)]
+            elif s[0] == "(12":
+                zone = s[1][1:]
+                first, last = int(s[2], 16), int(s[3], 16)
+                cell_zones[zone] = np.arange(first - 1, last)
+            elif s[0] == "(13" and s[1] != "(0":
+                zone = s[1][1:]
+                first, last = int(s[2], 16), int(s[3], 16)
+                zone_tris = []
+                for _ in range(first, last + 1):
+                    f = next(it).split()
+                    # mixed face sections lead with a vertex count
+                    if len(f) == 6 and f[0] == "3":
+                        f = f[1:]
+                    tri = [int(x, 16) - 1 for x in f[:3]]
+                    left, right = int(f[-2], 16), int(f[-1], 16)
+                    for c in (left, right):
+                        if c != 0:
+                            cell_pts[c - 1].update(tri)
+                    if left == 0 or right == 0:
+                        triangles.append(tri)
+                        zone_tris.append(len(triangles) - 1)
+                if zone_tris:
+                    tri_zone.append((zone, zone_tris))
+            elif s[0] == "(45" and len(s) >= 4:
+                # (45 (zone-id zone-type zone-name)())
+                names[s[1][1:]] = s[3].strip("()")
+
+    bad = [i for i, c in enumerate(cell_pts) if len(c) != 4]
+    if bad:
+        raise ValueError(f"non-tetrahedral fluent cells (first: {bad[0]}, "
+                         f"{len(cell_pts[bad[0]])} points) are not supported")
+    tetrahedra = np.array([sorted(c) for c in cell_pts],
+                          dtype=np.int64).reshape(-1, 4)
+    domains: Dict[str, Dict] = {}
+    for zone, tris in tri_zone:
+        domains[names.get(zone, "surf" + zone)] = {
+            "dimension": 2, "simplices": np.asarray(tris, np.int64)}
+    for zone, cells in cell_zones.items():
+        domains[names.get(zone, "vol" + zone)] = {
+            "dimension": 3, "simplices": cells}
+    lines = np.zeros((0, 2), np.int64)
+    return (points, lines,
+            np.asarray(triangles, np.int64).reshape(-1, 3),
+            tetrahedra, domains)
+
+
+__all__ = ["read_mesh", "read_msh4", "read_msh2", "read_nastran",
+           "read_ansys"]
