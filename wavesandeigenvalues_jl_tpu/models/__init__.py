@@ -1,3 +1,4 @@
 from .helmholtz import discretize
+from .network import discretize_network
 
-__all__ = ["discretize"]
+__all__ = ["discretize", "discretize_network"]

@@ -387,6 +387,43 @@ def generate_1_gz(g) -> OneMinus:
     return OneMinus(g)
 
 
+class Reciprocal(ScalarFunc):
+    """1/g(z) with analytic derivatives of ANY order via the Leibniz
+    recurrence on g·h = 1: h⁽ᵏ⁾ = -(1/g)·Σ_{i=1..k} C(k,i) g⁽ⁱ⁾ h⁽ᵏ⁻ⁱ⁾.
+
+    The reference's network admittances hand-code only k≤1 and return NaN
+    beyond (network.jl:195-204, 228-238 — a latent limitation this
+    combinator removes)."""
+
+    nargs = 1
+
+    def __init__(self, g, name: str = "Z"):
+        self.g = _wrap(g)
+        self.name = name
+
+    def eval(self, values, orders):
+        (z,) = values
+        (k,) = orders
+        g0 = self.g.eval((z,), (0,))
+        h = [1.0 / g0]
+        for n in range(1, k + 1):
+            s = 0.0
+            for i in range(1, n + 1):
+                s = s + math.comb(n, i) * self.g.eval((z,), (i,)) * h[n - i]
+            h.append(-s / g0)
+        return h[k]
+
+    def symbol(self, names):
+        return f"1/{self.name}({names[0]})"
+
+    def signature(self):
+        return ("Reciprocal", self.g.signature())
+
+
+def generate_1_over_gz(g, name: str = "Z") -> Reciprocal:
+    return Reciprocal(g, name)
+
+
 class Wrapped(ScalarFunc):
     """Adapt a user callable ``f(z, n) -> n-th derivative`` into a
     ScalarFunc (custom flame-transfer functions, tutorial 08)."""
@@ -441,6 +478,6 @@ __all__ = [
     "ExpDelay", "exp_delay", "tau_delay", "ExpPM", "StateSpace",
     "generate_stsp_z", "ZTimesG", "generate_z_g_z", "ExpAZ2MZIT",
     "exp_az2mzit", "SumYExpIKX", "generate_sum_y_exp_ikx", "Product",
-    "generate_gz_hz", "OneMinus", "generate_1_gz", "Wrapped",
-    "SumNExpAZ2MZIT",
+    "generate_gz_hz", "OneMinus", "generate_1_gz", "Reciprocal",
+    "generate_1_over_gz", "Wrapped", "SumNExpAZ2MZIT",
 ]
