@@ -143,7 +143,10 @@ class BlochContext:
                              self.naxis_ln - self.nxbloch))
         di = np.asarray(di, np.int64)
         Md = M.to_dense()
-        dv = 1.0 / np.diag(Md)[di]
+        dg = np.diag(Md)[di]
+        # reduced re-assembly (shape sensitivity) can leave axis DOFs with
+        # zero mass — no penalty contribution there instead of 1/0
+        dv = np.where(dg != 0, 1.0 / np.where(dg != 0, dg, 1.0), 0.0)
         D = CSR.from_coo(di, di, dv.astype(CDTYPE), (dim, dim))
         return Term(D, (self.anti_bloch_filt,), ((self.b,),), f"(1-δ({self.b}))",
                     "D")
