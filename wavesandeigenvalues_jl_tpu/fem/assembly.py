@@ -42,8 +42,50 @@ def aggregate_elements(mesh: Mesh, order: str = "lin"):
         for k, (i, j) in enumerate(TRI_EDGES):
             tri_dofs[:, 3 + k] = mesh.edge_indices(tri[:, [i, j]]) + n_pts
         return tri_dofs, tet_dofs, n_pts + len(mesh.lines)
+    if order == "herm":
+        return _aggregate_hermite(mesh)
     raise ValueError(f"element order {order!r} not supported "
-                     "(available: 'lin', 'quad')")
+                     "(available: 'lin', 'quad', 'herm')")
+
+
+TET_FACES = [(1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)]
+
+
+def _aggregate_hermite(mesh: Mesh):
+    """Hermite DOF numbering (FEM.jl:117-166): per vertex one value DOF and
+    three global-gradient DOFs in banks of n_pts, then one bubble DOF per
+    face (surface triangles first, then interior faces);
+    dim = 4·n_pts + n_faces."""
+    from ..mesh.core import find_simplices
+
+    n_pts = mesh.n_points
+    t = mesh.tetrahedra
+    faces = np.concatenate([t[:, list(f)] for f in TET_FACES])
+    surf_idx = find_simplices(mesh.triangles, faces)
+    if mesh.int_triangles is None or len(mesh.int_triangles) == 0:
+        from ..mesh.core import unique_simplices
+        missing = faces[surf_idx < 0]
+        mesh.int_triangles, _ = unique_simplices(missing)
+    int_idx = find_simplices(mesh.int_triangles, faces)
+    n_surf = len(mesh.triangles)
+    face_dof = np.where(surf_idx >= 0, surf_idx,
+                        n_surf + int_idx) + 4 * n_pts
+    if np.any((surf_idx < 0) & (int_idx < 0)):
+        raise ValueError("tetrahedron face not found in surface or "
+                         "interior triangle store")
+    ne = len(t)
+    tet_dofs = np.empty((ne, 20), dtype=np.int64)
+    for d in range(4):
+        tet_dofs[:, 4 * d:4 * (d + 1)] = t + d * n_pts
+    tet_dofs[:, 16:20] = face_dof.reshape(4, ne).T
+
+    tri = mesh.triangles
+    tri_dofs = np.empty((len(tri), 13), dtype=np.int64)
+    for d in range(4):
+        tri_dofs[:, 3 * d:3 * (d + 1)] = tri + d * n_pts
+    tri_dofs[:, 12] = np.arange(len(tri)) + 4 * n_pts
+    dim = 4 * n_pts + n_surf + len(mesh.int_triangles)
+    return tri_dofs, tet_dofs, dim
 
 
 def scatter_matrix(dofs: np.ndarray, E: np.ndarray, dim: int) -> CSR:
@@ -60,6 +102,18 @@ def scatter_matrix_coo(dofs: np.ndarray, E: np.ndarray):
     ne, k = dofs.shape
     rows = np.repeat(dofs, k, axis=1).ravel()
     cols = np.tile(dofs, (1, k)).ravel()
+    return rows, cols, E.reshape(-1).astype(CDTYPE)
+
+
+def scatter_rect_coo(row_dofs: np.ndarray, col_dofs: np.ndarray,
+                     E: np.ndarray):
+    """COO triplets for rectangular element blocks E [ne, ki, kj] with
+    independent row/col DOF lists (create_indices two-arg form, used by the
+    mixed-space APE assembly, APE.jl:105-106)."""
+    ne, ki = row_dofs.shape
+    kj = col_dofs.shape[1]
+    rows = np.repeat(row_dofs, kj, axis=1).ravel()
+    cols = np.tile(col_dofs, (1, ki)).ravel()
     return rows, cols, E.reshape(-1).astype(CDTYPE)
 
 
@@ -84,4 +138,5 @@ def rank_one_coo(I, S, J, G):
 
 
 __all__ = ["aggregate_elements", "scatter_matrix", "scatter_matrix_coo",
-           "scatter_vector", "rank_one_coo", "TET_EDGES", "TRI_EDGES"]
+           "scatter_rect_coo", "scatter_vector", "rank_one_coo",
+           "TET_EDGES", "TRI_EDGES"]

@@ -1,3 +1,5 @@
+from . import ape
+from .ape import compute_potflow_field
 from .helmholtz import discretize
 from .network import discretize_network
 from .shape import (blochify_surface_points, bound_mass_normalize,
@@ -6,7 +8,7 @@ from .shape import (blochify_surface_points, bound_mass_normalize,
                     get_surface_point_masks, normal_sensitivity,
                     normalize_sensitivity, surface_normal_vectors)
 
-__all__ = ["discretize", "discretize_network",
+__all__ = ["ape", "compute_potflow_field", "discretize", "discretize_network",
            "discrete_adjoint_shape_sensitivity",
            "forward_finite_differences_shape_sensitivity",
            "normalize_sensitivity", "bound_mass_normalize",
