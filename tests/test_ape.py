@@ -80,6 +80,29 @@ def test_hermite_tri_trace_consistency():
     assert abs(np.einsum("ei,ei->", ue, S) - 6.0) < 1e-9
 
 
+def test_helmholtz_hermite_duct_mode():
+    """Helmholtz discretize order='herm' (Helmholtz.jl:134-138): rigid duct
+    half-wave mode at c/2L; Hermite getters evaluate the mode shape."""
+    from wavesandeigenvalues_jl_tpu.fem import get_p, get_n_grad_p
+    from wavesandeigenvalues_jl_tpu.models import discretize
+
+    c = 343.0
+    mesh = box_mesh(lx=0.25, ly=0.25, lz=1.0, nx=1, ny=1, nz=4)
+    L = discretize(mesh, {"Interior": ("interior", ())},
+                   c * np.ones(mesh.n_points), order="herm")
+    sol, n, flag = mslp(L, 2 * np.pi * (c / 2) * 1.03, maxiter=30, tol=1e-9)
+    f = sol.params["ω"].real / 2 / np.pi
+    assert abs(f - c / 2) < 0.005 * c / 2
+    # mode shape ∝ cos(πz/L): p(z=0)/p(z=0.43) matches the cosine ratio
+    v = sol.v / sol.v[np.argmax(np.abs(sol.v[:mesh.n_points]))]
+    pa = get_p(mesh, v, (0.1, 0.1, 0.43))
+    pb = get_p(mesh, v, (0.12, 0.1, 0.0))
+    ratio = (pa / pb).real
+    assert abs(ratio - np.cos(np.pi * 0.43)) < 0.02
+    ga = get_n_grad_p(mesh, v, (0.1, 0.1, 0.43), (0, 0, 1.0))
+    assert abs((ga / pb).real + np.pi * np.sin(np.pi * 0.43)) < 0.15
+
+
 # ---------------------------------------------------------------------------
 # potential flow (APE.jl:215-321)
 

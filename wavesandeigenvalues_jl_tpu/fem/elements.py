@@ -156,6 +156,8 @@ def tet_mass(points, tets, order: int, c=None) -> np.ndarray:
 
     ``c`` of shape [ne] (constant per element — multiplies directly) or
     [ne, 4] (P1-interpolated field; integrand weight Σ c_k λ_k)."""
+    if order == "herm":
+        return tet_mass_herm(points, tets, c)
     pts, w = tet_quadrature()
     N, _ = tet_basis(order, pts)
     N1, _ = tet_basis(1, pts)
@@ -176,6 +178,8 @@ def tet_stiffness(points, tets, order: int, c2=None) -> np.ndarray:
     """[ne,k,k] stiffness ∫ c² ∇φi·∇φj (s43nv1nu1[cc1], s43nv2nu2[cc1],
     FEM.jl:1745-2400).  ``c2``: None, [ne] (c² constant), or [ne,4]
     (per-vertex c, weight (Σ c_k λ_k)²)."""
+    if order == "herm":
+        return tet_stiffness_herm(points, tets, c2)
     pts, w = tet_quadrature()
     _, dN = tet_basis(order, pts)
     N1, _ = tet_basis(1, pts)
@@ -198,6 +202,8 @@ def tet_stiffness(points, tets, order: int, c2=None) -> np.ndarray:
 def tri_mass(points, tris, order: int, c=None) -> np.ndarray:
     """[ne,k,k] boundary mass ∫ c φi φj over surface triangles
     (s33v1u1[c1], s33v2u2[c1], FEM.jl:435-560)."""
+    if order == "herm":
+        return tri_mass_herm(points, tris, c)
     pts, w = tri_quadrature()
     N = tri_basis(order, pts)
     N1 = tri_basis(1, pts)
@@ -216,6 +222,8 @@ def tri_mass(points, tris, order: int, c=None) -> np.ndarray:
 
 def tet_source(points, tets, order: int) -> np.ndarray:
     """[ne,k] volume source vectors ∫ φi (s43v1/s43v2, FEM.jl:2429-2436)."""
+    if order == "herm":
+        return tet_source_herm(points, tets)
     pts, w = tet_quadrature()
     N, _ = tet_basis(order, pts)
     _, _, det = tet_trafo(points, tets)
@@ -225,6 +233,8 @@ def tet_source(points, tets, order: int) -> np.ndarray:
 
 def tri_source(points, tris, order: int, c=None) -> np.ndarray:
     """[ne,k] wall source ∫ c φi (s33v1[c1]/s33v2[c1], FEM.jl:2557-2608)."""
+    if order == "herm":
+        return tri_source_herm(points, tris, c)
     pts, w = tri_quadrature()
     N = tri_basis(order, pts)
     N1 = tri_basis(1, pts)
@@ -529,8 +539,12 @@ def tet_grad_at_point(points, tet: np.ndarray, order: int, n_ref, x_ref):
                  axis=1)
     Jinv = np.linalg.inv(J)
     loc = Jinv @ (np.asarray(x_ref, dtype=np.float64) - v4)
-    _, dN = tet_basis(order, loc[None, :])
     n_ref = np.asarray(n_ref, dtype=np.float64)
+    if order == "herm":
+        _, dN = herm_tet_eval(loc[None, :])
+        r = np.einsum("im,mn,n->i", dN[0], Jinv, n_ref)
+        return _herm_recomb_tet(J[None])[0] @ r
+    _, dN = tet_basis(order, loc[None, :])
     # physical gradient = dN @ Jinv;  row_i = (dN_i @ Jinv) · n_ref
     return np.einsum("im,mn,n->i", dN[0], Jinv, n_ref)
 
@@ -543,6 +557,9 @@ def shape_values_at_point(points, tet: np.ndarray, order: int, x_ref):
                  axis=1)
     Jinv = np.linalg.inv(J)
     loc = Jinv @ (np.asarray(x_ref, dtype=np.float64) - v4)
+    if order == "herm":
+        N, _ = herm_tet_eval(loc[None, :])
+        return _herm_recomb_tet(J[None])[0] @ N[0]
     N, _ = tet_basis(order, loc[None, :])
     return N[0]
 

@@ -15,20 +15,26 @@ from . import elements as fel
 from .assembly import TET_EDGES
 
 
-def infer_order(mesh: Mesh, sol_len: int) -> int:
+def infer_order(mesh: Mesh, sol_len: int):
     """Element order from solution length (helmholtz_getters.jl:47-68):
-    #points → 1 (P1); #points+#edges → 2 (P2)."""
+    #points → 1 (P1); #points+#edges → 2 (P2); 4·#points+#faces →
+    'herm' (cubic Hermite)."""
     if sol_len == mesh.n_points:
         return 1
     mesh.collect_lines()
     if sol_len == mesh.n_points + len(mesh.lines):
         return 2
+    from .assembly import aggregate_elements
+    _, _, herm_dim = aggregate_elements(mesh, "herm")
+    if sol_len == herm_dim:
+        return "herm"
     raise ValueError(f"cannot infer element order from solution length "
                      f"{sol_len} (points: {mesh.n_points}, "
-                     f"P2 DOFs: {mesh.n_points + len(mesh.lines)})")
+                     f"P2 DOFs: {mesh.n_points + len(mesh.lines)}, "
+                     f"Hermite DOFs: {herm_dim})")
 
 
-def aggregate_element(mesh: Mesh, tet_idx: int, order: int) -> np.ndarray:
+def aggregate_element(mesh: Mesh, tet_idx: int, order) -> np.ndarray:
     """Global DOF indices of one tetrahedron
     (aggregate_element, helmholtz_getters.jl:72-118)."""
     tet = mesh.tetrahedra[tet_idx]
@@ -38,6 +44,10 @@ def aggregate_element(mesh: Mesh, tet_idx: int, order: int) -> np.ndarray:
         edges = np.array([[tet[i], tet[j]] for i, j in TET_EDGES])
         return np.concatenate(
             [tet, mesh.edge_indices(edges) + mesh.n_points])
+    if order == "herm":
+        from .assembly import aggregate_elements
+        _, tet_dofs, _ = aggregate_elements(mesh, "herm")
+        return tet_dofs[tet_idx]
     raise ValueError(f"unsupported order {order}")
 
 

@@ -61,9 +61,9 @@ def discretize(mesh: Mesh, dscrp: Dict, C, order: str = "lin",
     Returns the family L; with ``source=True`` also the parameterized
     forcing vector family.  ``b`` activates Bloch-periodic assembly on a
     unit-cell mesh (requires mesh.dos; see :mod:`..fem.bloch`)."""
-    porder = {"lin": 1, "quad": 2}.get(order)
+    porder = {"lin": 1, "quad": 2, "herm": "herm"}.get(order)
     if porder is None:
-        raise ValueError("order must be 'lin' or 'quad' ('herm' pending)")
+        raise ValueError("order must be 'lin', 'quad' or 'herm'")
     tri_dofs, tet_dofs, dim = fea.aggregate_elements(mesh, order)
     pts = mesh.points
     C_tet, C_tri = _speed_of_sound(mesh, C, tet_dofs, tri_dofs)
