@@ -356,5 +356,48 @@ class Mesh:
         return normals
 
 
+def color_domains(mesh: Mesh, domains=()):
+    """Integer color fields per domain for visualization
+    (color_domains, Meshutils.jl:1139-1190).
+
+    Returns (data, surf_keys, vol_keys): ``data`` maps each domain name to
+    a per-cell integer field (triangles for 2-D domains, tets for 3-D),
+    plus '__all_surfaces__' / '__all_volumes__' combined colorings;
+    ``surf_keys``/``vol_keys`` map the domain names to their color index."""
+    n_tri = len(mesh.triangles)
+    n_tet = len(mesh.tetrahedra)
+    tri_color = np.zeros(n_tri, dtype=np.int64)
+    tet_color = np.zeros(n_tet, dtype=np.int64)
+    data, surf_keys, vol_keys = {}, {}, {}
+    if not domains:
+        domains = sorted(mesh.domains.keys())
+    surf_idx = vol_idx = 0
+    for key in domains:
+        if key not in mesh.domains:
+            print(f"Warning: No domain named '{key}' in mesh.")
+            continue
+        dom = mesh.domains[key]
+        smplcs = np.asarray(dom["simplices"], dtype=np.int64)
+        if dom["dimension"] == 2:
+            surf_idx += 1
+            if np.any(tri_color[smplcs] != 0):
+                print(f"domain {key} is overlapping")
+            tri_color[smplcs] = surf_idx
+            data[key] = np.zeros(n_tri, dtype=np.int64)
+            data[key][smplcs] = surf_idx
+            surf_keys[key] = surf_idx
+        elif dom["dimension"] == 3:
+            vol_idx += 1
+            if np.any(tet_color[smplcs] != 0):
+                print(f"domain {key} is overlapping")
+            tet_color[smplcs] = vol_idx
+            data[key] = np.zeros(n_tet, dtype=np.int64)
+            data[key][smplcs] = vol_idx
+            vol_keys[key] = vol_idx
+    data["__all_surfaces__"] = tri_color
+    data["__all_volumes__"] = tet_color
+    return data, surf_keys, vol_keys
+
+
 __all__ = ["Mesh", "SymInfo", "unique_simplices", "find_simplices",
-           "simplex_keys"]
+           "simplex_keys", "color_domains"]

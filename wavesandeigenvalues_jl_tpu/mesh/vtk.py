@@ -146,11 +146,20 @@ def vtk_write(filename: str, mesh: Mesh, data: Dict[str, np.ndarray],
         _write_vtu(p, pts, conn, VTK_QUADRATIC_TETRA, quad_d, {}, fmt)
         written.append(p)
     if tri_d:
-        p = filename + "_tri.vtu"
-        _write_vtu(p, mesh.points, mesh.triangles, VTK_TRIANGLE,
-                   {}, tri_d, fmt)
-        written.append(p)
+        written.append(vtk_write_tri(filename, mesh, tri_d, fmt))
     return written
 
 
-__all__ = ["vtk_write"]
+def vtk_write_tri(filename: str, mesh: Mesh, data: Dict[str, np.ndarray],
+                  fmt: str = "ascii") -> str:
+    """Write per-surface-triangle cell data to ``<filename>_tri.vtu``
+    (vtk_write_tri, vtk_write.jl:201-270).  Use this instead of the
+    length dispatcher when cell counts collide (e.g. #tris == #tets)."""
+    data = _split_complex(data)
+    path = filename if filename.endswith(".vtu") else filename + "_tri.vtu"
+    _write_vtu(path, mesh.points, mesh.triangles, VTK_TRIANGLE,
+               {}, data, fmt)
+    return path
+
+
+__all__ = ["vtk_write", "vtk_write_tri"]

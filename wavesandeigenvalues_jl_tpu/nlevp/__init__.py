@@ -5,10 +5,12 @@ TPU-native counterpart of the reference's NLEVP module
 algebra, local and global eigensolvers, arbitrary-order perturbation theory
 with Padé summation, persistence, and a gallery of benchmark problems."""
 from .algebra import (ExpAz, ExpDelay, ExpPM, OneMinus, Pow, Product,
-                      ScalarFunc, StateSpace, SumYExpIKX, Wrapped, ZTimesG,
-                      exp_az2mzit, exp_delay, generate_1_gz, generate_gz_hz,
+                      ScalarFunc, StateSpace, SumYExpIKX, Wrapped, ZExpIAZ,
+                      ZTimesG, exp_az, exp_az2mzit, exp_delay, exp_pm,
+                      generate_1_gz, generate_exp_az, generate_gz_hz,
                       generate_stsp_z, generate_sum_y_exp_ikx, generate_z_g_z,
-                      pow0, pow1, pow2, pow_a, tau_delay)
+                      pow, pow0, pow1, pow2, pow_a, sum_n_exp_az2mzit,
+                      tau_delay, z_exp__iaz, z_exp_iaz)
 from .family import AUX_OPERATOR, OperatorFamily, Solution, Term, project
 from .pade import (Polynomial, RationalPolynomial, conv_radius, estimate_pol,
                    pade, poly_roots, polyval)
@@ -24,5 +26,17 @@ from . import gallery
 
 # reference-compatible aliases
 LinearOperatorFamily = OperatorFamily
+read_sol = read_solution
+
+
+def save(fname: str, obj):
+    """Persist an OperatorFamily or Solution by type dispatch
+    (save, LinOpFam.jl:231 / save.jl:2)."""
+    if isinstance(obj, OperatorFamily):
+        return save_family(fname, obj)
+    if isinstance(obj, Solution):
+        return save_solution(fname, obj)
+    raise TypeError(f"cannot save object of type {type(obj).__name__}")
+
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -467,6 +467,79 @@ class SumNExpAZ2MZIT(ScalarFunc):
         return ("SumNExpAZ2MZIT", self.J)
 
 
+class ZExpIAZ(ScalarFunc):
+    """z·exp(s·i·a·z) with mixed derivatives up to order 1 in each argument
+    (z_exp_iaz / z_exp__iaz, algebra.jl:191-210)."""
+
+    nargs = 2
+
+    def __init__(self, s: int):
+        self.s = s
+        self.a = 1.0j * s
+
+    def eval(self, values, orders):
+        z, a = values
+        m, n = orders
+        ia = self.a * a
+        if m == 0 and n == 0:
+            return z * _exp(ia * z)
+        if m == 1 and n == 0:
+            return (ia * z + 1) * _exp(ia * z)
+        if m == 0 and n == 1:
+            return self.a * z ** 2 * _exp(ia * z)
+        raise NotImplementedError(
+            "z_exp_iaz supports at most first derivatives")
+
+    def symbol(self, names):
+        sgn = "+" if self.s > 0 else "-"
+        return f"{names[0]}*exp({sgn}i{names[1]}{names[0]})"
+
+    def signature(self):
+        return ("ZExpIAZ", self.s)
+
+
+# -- raw reference-signature scalar functions (algebra.jl exports) ----------
+
+
+def pow(z, k: int, a):
+    """k-th derivative of z^a (pow, algebra.jl:46-75)."""
+    return _pow_deriv(complex(z), int(k), a)
+
+
+def exp_az(z, a, k: int = 0):
+    """k-th derivative of exp(a·z) (exp_az, algebra.jl:129-135)."""
+    return complex(a) ** k * _exp(complex(a) * complex(z))
+
+
+def generate_exp_az(a) -> ExpAz:
+    """Coefficient function exp(a·z) (generate_exp_az, algebra.jl:110-126)."""
+    return ExpAz(a)
+
+
+def exp_pm(s: int) -> ExpPM:
+    """Coefficient function exp(s·iωτ), s=±1 (exp_pm, algebra.jl:215-227)."""
+    return ExpPM(s)
+
+
+def z_exp_iaz(z, a, m: int = 0, n: int = 0):
+    """∂^m_z ∂^n_a of z·exp(+iaz) (z_exp_iaz, algebra.jl:191-198)."""
+    return ZExpIAZ(+1).eval((complex(z), complex(a)), (m, n))
+
+
+def z_exp__iaz(z, a, m: int = 0, n: int = 0):
+    """∂^m_z ∂^n_a of z·exp(-iaz) (z_exp__iaz, algebra.jl:203-210)."""
+    return ZExpIAZ(-1).eval((complex(z), complex(a)), (m, n))
+
+
+def sum_n_exp_az2mzit(*args):
+    """Raw multi-branch fancy-flame value/derivative
+    (Σnexp_az2mzit, algebra.jl:313-325): args = (ω, n₁, τ₁, a₁, …,
+    mω, l₁, n₁', k₁, …) — first half values, second half orders."""
+    half = len(args) // 2
+    J = (half - 1) // 3
+    return SumNExpAZ2MZIT(J).eval(args[:half], [int(o) for o in args[half:]])
+
+
 def _wrap(g) -> ScalarFunc:
     if isinstance(g, ScalarFunc):
         return g
@@ -479,5 +552,7 @@ __all__ = [
     "generate_stsp_z", "ZTimesG", "generate_z_g_z", "ExpAZ2MZIT",
     "exp_az2mzit", "SumYExpIKX", "generate_sum_y_exp_ikx", "Product",
     "generate_gz_hz", "OneMinus", "generate_1_gz", "Reciprocal",
-    "generate_1_over_gz", "Wrapped", "SumNExpAZ2MZIT",
+    "generate_1_over_gz", "Wrapped", "SumNExpAZ2MZIT", "ZExpIAZ",
+    "pow", "exp_az", "generate_exp_az", "exp_pm", "z_exp_iaz", "z_exp__iaz",
+    "sum_n_exp_az2mzit",
 ]
