@@ -498,10 +498,16 @@ def compute_moment_matrices(L: OperatorFamily, Gamma, V=None, l=5, K=1,
     return A
 
 
-def moments2eigs(A, tol_sigma: float = 0.0, return_sigma: bool = False):
+def moments2eigs(A, tol_sigma: float = 0.0, return_sigma: bool = False,
+                 rtol_sigma: float = 0.0):
     """Eigenpairs from moment matrices via block-Hankel SVD filtering
     (moments2eigs, beyn.jl:289-323).  ``A`` is one [d,l,2K] array or a list
-    of them (incremental column blocks)."""
+    of them (incremental column blocks).
+
+    ``tol_sigma`` is the reference's absolute σ cutoff;``rtol_sigma``
+    additionally drops directions with σ < rtol·σmax — essential when the
+    operator is badly scaled (e.g. penalty admittance Y~1e15): Σ⁻¹ amplifies
+    those pure-noise directions by σmax/σ ≳ 1/ε otherwise."""
     if isinstance(A, np.ndarray):
         A = [A]
     d = A[0].shape[0]
@@ -518,8 +524,10 @@ def moments2eigs(A, tol_sigma: float = 0.0, return_sigma: bool = False):
                 B0[r, c] = Ai[:, :, i + j]
                 B1[r, c] = Ai[:, :, i + j + 1]
     V, S, Wh = np.linalg.svd(B0, full_matrices=False)
-    if tol_sigma > 0:
-        mask = S > tol_sigma
+    cutoff = max(tol_sigma,
+                 rtol_sigma * (S[0] if len(S) else 0.0))
+    if cutoff > 0:
+        mask = S > cutoff
         V, S, Wh = V[:, mask], S[mask], Wh[mask, :]
     W = Wh.conj().T
     Om, P = np.linalg.eig(V.conj().T @ B1 @ W @ np.diag(1.0 / S))
@@ -559,17 +567,20 @@ def pos_test(Om, P, Gamma):
     return Om[mask], P[:, mask]
 
 
-def beyn(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0,
+def beyn(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0, rtol=0.0,
          pos_test_flag=True, output=False, random=False):
     """Beyn's contour-integral global eigensolver (beyn.jl:34-110).
 
     Finds all eigenvalues inside the polygon Γ; follows the pseudocode of
-    Buschmann et al. 2020."""
+    Buschmann et al. 2020.  ``tol``/``rtol``: absolute/relative singular-
+    value cutoffs (see :func:`moments2eigs`; use rtol≈1e-12 on badly scaled
+    operators)."""
     d = L.size
     K = max(K, (l + d - 1) // d)
     V = initialize_V(d, l, random=random)
     A = compute_moment_matrices(L, Gamma, V, K=K, N=N, output=output)
-    Om, P, S = moments2eigs(A, tol_sigma=tol, return_sigma=True)
+    Om, P, S = moments2eigs(A, tol_sigma=tol, rtol_sigma=rtol,
+                            return_sigma=True)
     if output:
         print("singular values:", S)
     if pos_test_flag:

@@ -77,12 +77,43 @@ class DenseQRLstsq(Factorization):
         return x
 
 
-class SingularMatrixError(np.linalg.LinAlgError):
-    pass
+class SparseLU(Factorization):
+    """Sparse LU (SuperLU) for large FEM systems — the direct counterpart
+    of the reference's UMFPACK factorization (SparseArrays.lu), used on
+    host for matrices too large to densify profitably."""
+
+    def __init__(self, A: CSR):
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+        M = sp.csr_matrix((A.data.astype(CDTYPE), A.indices, A.indptr),
+                          shape=A.shape).tocsc()
+        self._ok = True
+        try:
+            self.F = spla.splu(M)
+            u = self.F.U.diagonal()
+            self._ok = bool(np.all(np.isfinite(u)) and np.all(u != 0))
+        except RuntimeError:
+            self._ok = False
+            self.F = None
+
+    @property
+    def ok(self) -> bool:
+        return self._ok
+
+    def solve(self, b, trans: str = "N"):
+        return self.F.solve(np.asarray(b, dtype=CDTYPE), trans=trans)
+
+
+#: below this dimension dense LAPACK LU beats SuperLU's symbolic overhead
+SPARSE_LU_MIN_DIM = 600
 
 
 def factorize(A: Union[CSR, np.ndarray], check: bool = False) -> Factorization:
     if isinstance(A, CSR):
+        if A.shape[0] >= SPARSE_LU_MIN_DIM:
+            F = SparseLU(A)
+            if F.ok:
+                return F
         A = A.to_dense()
     F = DenseLU(A)
     if check and not F.ok:
@@ -94,6 +125,10 @@ def factorize_with_fallback(A: Union[CSR, np.ndarray]) -> Factorization:
     """LU if it exists, else least-squares QR (the reference's
     lu-then-qr strategy for the singular L(0,0), perturbation.jl:329-332)."""
     if isinstance(A, CSR):
+        if A.shape[0] >= SPARSE_LU_MIN_DIM:
+            F = SparseLU(A)
+            if F.ok:
+                return F
         A = A.to_dense()
     F = DenseLU(A)
     if F.ok:
@@ -101,9 +136,13 @@ def factorize_with_fallback(A: Union[CSR, np.ndarray]) -> Factorization:
     return DenseQRLstsq(A)
 
 
+class SingularMatrixError(np.linalg.LinAlgError):
+    pass
+
+
 def solve(A, b, trans: str = "N"):
     return factorize(A).solve(b, trans)
 
 
-__all__ = ["Factorization", "DenseLU", "factorize", "solve",
-           "SingularMatrixError"]
+__all__ = ["Factorization", "DenseLU", "SparseLU", "factorize",
+           "factorize_with_fallback", "solve", "SingularMatrixError"]
