@@ -34,9 +34,17 @@ def adjacency_from_csr(A: CSR):
 
 
 def cuthill_mckee(A: CSR, reverse: bool = True) -> np.ndarray:
-    """Permutation ``perm`` (new→old) reducing the bandwidth of A."""
+    """Permutation ``perm`` (new→old) reducing the bandwidth of A.
+
+    Uses the native C++ BFS (native/host_kernels.cpp) when available; the
+    numpy/deque implementation below is the fallback."""
     n = A.shape[0]
     indptr, nbrs = adjacency_from_csr(A)
+    if reverse:
+        from .. import native
+        perm = native.rcm(indptr, nbrs)
+        if perm is not None:
+            return perm
     degree = np.diff(indptr)
     visited = np.zeros(n, bool)
     perm = np.empty(n, np.int64)

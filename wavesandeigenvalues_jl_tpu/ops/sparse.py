@@ -29,12 +29,21 @@ from ..utils.config import CDTYPE, IDTYPE
 
 
 def coo_sum_duplicates(rows, cols, vals, shape):
-    """Sum duplicate (i,j) entries; drop exact zeros. Returns sorted COO."""
+    """Sum duplicate (i,j) entries; drop exact zeros. Returns sorted COO.
+
+    Offloads to the native C++ kernel (native/host_kernels.cpp) for large
+    assemblies; numpy sort/reduceat fallback below."""
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
     vals = np.asarray(vals, dtype=CDTYPE)
     if rows.size == 0:
         return rows.astype(IDTYPE), cols.astype(IDTYPE), vals
+    if rows.size >= 1 << 15 and vals.dtype == np.complex128:
+        from .. import native
+        out = native.coo_dedup(rows, cols, vals)
+        if out is not None:
+            r, c, v = out
+            return r.astype(IDTYPE), c.astype(IDTYPE), v
     n_cols = shape[1]
     key = rows * n_cols + cols
     order = np.argsort(key, kind="stable")
