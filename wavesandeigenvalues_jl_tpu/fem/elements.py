@@ -5,9 +5,9 @@ The reference ships ~2600 lines of hand-expanded closed-form local matrices
 precomputed reference-element quadrature tables, batched across the whole
 element set at once — the natural shape for XLA/TPU (one [ne, k, k] tensor
 per operator instead of ne small-matrix calls).  The quadrature (collapsed
-Duffy/Gauss tensor rule, exact for polynomial degree ≥ 7) integrates every
-P1/P2 mass/stiffness/boundary/source integrand exactly, so results agree
-with the reference's symbolic tables to machine precision.
+Duffy/Gauss tensor rule) is chosen per kernel to be exact for the integrand
+degree (≤5 for P1/P2 mass, ≤4 for stiffness/convection, ≤9 for Hermite),
+so results agree with the reference's symbolic tables to machine precision.
 
 Local DOF ordering matches aggregate_elements (FEM.jl:84-166):
   tet  P1: [v1 v2 v3 v4]
@@ -148,6 +148,49 @@ def tri_trafo(points: np.ndarray, tris: np.ndarray):
 
 # ---------------------------------------------------------------------------
 # batched operator kernels
+#
+# Every kernel is written as   per-element geometry ⊗ precomputed exact
+# integration tensor  →  one [ne, ·] × [·, k·k] BLAS matmul — the layout that
+# is (a) memory-minimal on host and (b) an MXU matmul when traced on TPU.
+# The integration tensors contract the quadrature axis once at table-build
+# time; P1 coefficient fields enter *exactly* through their vertex values
+# (weight Σ c_k λ_k, squared for the cc1 stiffness), not via sampling.
+
+
+@lru_cache(maxsize=None)
+def _tet_mass_tables(order: int):
+    """T0[i,j] = ∫ φiφj and Tc[k, i·j] = ∫ λk φiφj on the reference tet."""
+    pts, w = tet_quadrature(3)
+    N, _ = tet_basis(order, pts)
+    N1, _ = tet_basis(1, pts)
+    T0 = np.einsum("q,qi,qj->ij", w, N, N)
+    Tc = np.einsum("q,qk,qi,qj->kij", w, N1, N, N)
+    k = N.shape[1]
+    return T0, Tc.reshape(4, k * k), k
+
+
+@lru_cache(maxsize=None)
+def _tet_stiff_tables(order: int):
+    """T0[m·o, i·j] = ∫ dNi_m dNj_o and Tc[k·l·m·o, i·j] = ∫ λkλl dNi_m dNj_o
+    (reference-gradient tensors; contracted with JinvJinvᵀ per element)."""
+    pts, w = tet_quadrature(3)
+    _, dN = tet_basis(order, pts)
+    N1, _ = tet_basis(1, pts)
+    T0 = np.einsum("q,qim,qjo->moij", w, dN, dN)
+    Tc = np.einsum("q,qk,ql,qim,qjo->klmoij", w, N1, N1, dN, dN)
+    k = dN.shape[1]
+    return T0.reshape(9, k * k), Tc.reshape(16 * 9, k * k), k
+
+
+@lru_cache(maxsize=None)
+def _tri_mass_tables(order: int):
+    pts, w = tri_quadrature(3)
+    N = tri_basis(order, pts)
+    N1 = tri_basis(1, pts)
+    T0 = np.einsum("q,qi,qj->ij", w, N, N)
+    Tc = np.einsum("q,qk,qi,qj->kij", w, N1, N, N)
+    k = N.shape[1]
+    return T0, Tc.reshape(3, k * k), k
 
 
 def tet_mass(points, tets, order: int, c=None) -> np.ndarray:
@@ -158,20 +201,16 @@ def tet_mass(points, tets, order: int, c=None) -> np.ndarray:
     [ne, 4] (P1-interpolated field; integrand weight Σ c_k λ_k)."""
     if order == "herm":
         return tet_mass_herm(points, tets, c)
-    pts, w = tet_quadrature()
-    N, _ = tet_basis(order, pts)
-    N1, _ = tet_basis(1, pts)
+    T0, Tc, k = _tet_mass_tables(order)
     _, _, det = tet_trafo(points, tets)
     absdet = np.abs(det)
     if c is None:
-        M = np.einsum("q,qi,qj->ij", w, N, N)
-        return absdet[:, None, None] * M[None]
+        return absdet[:, None, None] * T0[None]
     c = np.asarray(c)
     if c.ndim == 1:
-        M = np.einsum("q,qi,qj->ij", w, N, N)
-        return (absdet * c)[:, None, None] * M[None]
-    cq = np.einsum("ek,qk->eq", c, N1)  # field at quadrature points
-    return np.einsum("e,eq,q,qi,qj->eij", absdet, cq, w, N, N)
+        return (absdet * c)[:, None, None] * T0[None]
+    M = (absdet[:, None] * c) @ Tc  # [ne,4] @ [4,k²]
+    return M.reshape(-1, k, k)
 
 
 def tet_stiffness(points, tets, order: int, c2=None) -> np.ndarray:
@@ -180,23 +219,21 @@ def tet_stiffness(points, tets, order: int, c2=None) -> np.ndarray:
     (per-vertex c, weight (Σ c_k λ_k)²)."""
     if order == "herm":
         return tet_stiffness_herm(points, tets, c2)
-    pts, w = tet_quadrature()
-    _, dN = tet_basis(order, pts)
-    N1, _ = tet_basis(1, pts)
+    T0, Tc, k = _tet_stiff_tables(order)
     _, Jinv, det = tet_trafo(points, tets)
     absdet = np.abs(det)
-    # physical gradients: g[e,q,i,:] = dN[q,i,:] @ Jinv[e]
+    A = np.einsum("emn,eon->emo", Jinv, Jinv).reshape(-1, 9)  # Jinv Jinvᵀ
     if c2 is None:
-        A = np.einsum("emn,eon->emo", Jinv, Jinv)  # Jinv Jinv^T
-        K = np.einsum("q,qim,emo,qjo->eij", w, dN, A, dN)
-        return absdet[:, None, None] * K
+        K = (absdet[:, None] * A) @ T0
+        return K.reshape(-1, k, k)
     c2 = np.asarray(c2)
-    A = np.einsum("emn,eon->emo", Jinv, Jinv)
     if c2.ndim == 1:
-        K = np.einsum("q,qim,emo,qjo->eij", w, dN, A, dN)
-        return (absdet * c2)[:, None, None] * K
-    cq = np.einsum("ek,qk->eq", c2, N1) ** 2
-    return np.einsum("e,eq,q,qim,emo,qjo->eij", absdet, cq, w, dN, A, dN)
+        K = ((absdet * c2)[:, None] * A) @ T0
+        return K.reshape(-1, k, k)
+    # per-vertex c: weight (Σ c_k λ_k)² = Σ_{kl} c_k c_l λ_k λ_l  (exact)
+    cc = np.einsum("ek,el->ekl", c2, c2).reshape(-1, 16)
+    G = np.einsum("e,ep,em->epm", absdet, cc, A).reshape(-1, 16 * 9)
+    return (G @ Tc).reshape(-1, k, k)
 
 
 def tri_mass(points, tris, order: int, c=None) -> np.ndarray:
@@ -204,27 +241,23 @@ def tri_mass(points, tris, order: int, c=None) -> np.ndarray:
     (s33v1u1[c1], s33v2u2[c1], FEM.jl:435-560)."""
     if order == "herm":
         return tri_mass_herm(points, tris, c)
-    pts, w = tri_quadrature()
-    N = tri_basis(order, pts)
-    N1 = tri_basis(1, pts)
+    T0, Tc, k = _tri_mass_tables(order)
     _, _, det = tri_trafo(points, tris)
     absdet = np.abs(det)
     if c is None:
-        M = np.einsum("q,qi,qj->ij", w, N, N)
-        return absdet[:, None, None] * M[None]
+        return absdet[:, None, None] * T0[None]
     c = np.asarray(c)
     if c.ndim == 1:
-        M = np.einsum("q,qi,qj->ij", w, N, N)
-        return (absdet * c)[:, None, None] * M[None]
-    cq = np.einsum("ek,qk->eq", c, N1)
-    return np.einsum("e,eq,q,qi,qj->eij", absdet, cq, w, N, N)
+        return (absdet * c)[:, None, None] * T0[None]
+    M = (absdet[:, None] * c) @ Tc
+    return M.reshape(-1, k, k)
 
 
 def tet_source(points, tets, order: int) -> np.ndarray:
     """[ne,k] volume source vectors ∫ φi (s43v1/s43v2, FEM.jl:2429-2436)."""
     if order == "herm":
         return tet_source_herm(points, tets)
-    pts, w = tet_quadrature()
+    pts, w = tet_quadrature(2)
     N, _ = tet_basis(order, pts)
     _, _, det = tet_trafo(points, tets)
     v = np.einsum("q,qi->i", w, N)
@@ -235,7 +268,7 @@ def tri_source(points, tris, order: int, c=None) -> np.ndarray:
     """[ne,k] wall source ∫ c φi (s33v1[c1]/s33v2[c1], FEM.jl:2557-2608)."""
     if order == "herm":
         return tri_source_herm(points, tris, c)
-    pts, w = tri_quadrature()
+    pts, w = tri_quadrature(2)
     N = tri_basis(order, pts)
     N1 = tri_basis(1, pts)
     _, _, det = tri_trafo(points, tris)
@@ -248,7 +281,7 @@ def tri_source(points, tris, order: int, c=None) -> np.ndarray:
         v = np.einsum("q,qi->i", w, N)
         return (absdet * c)[:, None] * v[None]
     cq = np.einsum("ek,qk->eq", c, N1)
-    return np.einsum("e,eq,q,qi->ei", absdet, cq, w, N)
+    return np.einsum("e,eq,q,qi->ei", absdet, cq, w, N, optimize=True)
 
 
 # ---------------------------------------------------------------------------
@@ -412,9 +445,9 @@ def tet_mass_herm(points, tets, c=None) -> np.ndarray:
             M = (absdet * c)[:, None, None] * M0[None]
         else:
             N1, _ = tet_basis(1, pts)
-            cq = np.einsum("ek,qk->eq", c, N1)
-            M = np.einsum("e,eq,q,qi,qj->eij", absdet, cq, w, N, N)
-    return np.einsum("eik,ekl,ejl->eij", R, M, R)
+            Tc = np.einsum("q,qk,qi,qj->kij", w, N1, N, N).reshape(4, -1)
+            M = ((absdet[:, None] * c) @ Tc).reshape(-1, 20, 20)
+    return np.matmul(np.matmul(R, M), R.swapaxes(1, 2))
 
 
 def tet_stiffness_herm(points, tets, c2=None) -> np.ndarray:
@@ -423,21 +456,24 @@ def tet_stiffness_herm(points, tets, c2=None) -> np.ndarray:
     pts, w, _, dN = _herm_tet_tables()
     J, Jinv, det = tet_trafo(points, tets)
     absdet = np.abs(det)
-    A = np.einsum("emn,eon->emo", Jinv, Jinv)
+    A = np.einsum("emn,eon->emo", Jinv, Jinv).reshape(-1, 9)
     if c2 is None:
-        K = np.einsum("q,qim,emo,qjo->eij", w, dN, A, dN)
-        K = absdet[:, None, None] * K
+        T0 = np.einsum("q,qim,qjo->moij", w, dN, dN).reshape(9, -1)
+        K = ((absdet[:, None] * A) @ T0).reshape(-1, 20, 20)
     else:
         c2 = np.asarray(c2)
         if c2.ndim == 1:
-            K = np.einsum("q,qim,emo,qjo->eij", w, dN, A, dN)
-            K = (absdet * c2)[:, None, None] * K
+            T0 = np.einsum("q,qim,qjo->moij", w, dN, dN).reshape(9, -1)
+            K = (((absdet * c2)[:, None] * A) @ T0).reshape(-1, 20, 20)
         else:
             N1, _ = tet_basis(1, pts)
-            cq = np.einsum("ek,qk->eq", c2, N1) ** 2
-            K = np.einsum("e,eq,q,qim,emo,qjo->eij", absdet, cq, w, dN, A, dN)
+            Tc = np.einsum("q,qk,ql,qim,qjo->klmoij", w, N1, N1, dN, dN,
+                           optimize=True).reshape(16 * 9, -1)
+            cc = np.einsum("ek,el->ekl", c2, c2).reshape(-1, 16)
+            G = np.einsum("e,ep,em->epm", absdet, cc, A).reshape(-1, 16 * 9)
+            K = (G @ Tc).reshape(-1, 20, 20)
     R = _herm_recomb_tet(J)
-    return np.einsum("eik,ekl,ejl->eij", R, K, R)
+    return np.matmul(np.matmul(R, K), R.swapaxes(1, 2))
 
 
 def tet_source_herm(points, tets) -> np.ndarray:
@@ -466,9 +502,9 @@ def tri_mass_herm(points, tris, c=None) -> np.ndarray:
             M = (absdet * c)[:, None, None] * M0[None]
         else:
             N1 = tri_basis(1, pts)
-            cq = np.einsum("ek,qk->eq", c, N1)
-            M = np.einsum("e,eq,q,qi,qj->eij", absdet, cq, w, N, N)
-    return np.einsum("eik,ekl,ejl->eij", R, M, R)
+            Tc = np.einsum("q,qk,qi,qj->kij", w, N1, N, N).reshape(3, -1)
+            M = ((absdet[:, None] * c) @ Tc).reshape(-1, 13, 13)
+    return np.matmul(np.matmul(R, M), R.swapaxes(1, 2))
 
 
 def tri_source_herm(points, tris, c=None) -> np.ndarray:
@@ -487,7 +523,7 @@ def tri_source_herm(points, tris, c=None) -> np.ndarray:
         return (absdet * c)[:, None] * np.einsum("eik,k->ei", R, v)
     N1 = tri_basis(1, pts)
     cq = np.einsum("ek,qk->eq", c, N1)
-    v = np.einsum("e,eq,q,qi->ei", absdet, cq, w, N)
+    v = np.einsum("e,eq,q,qi->ei", absdet, cq, w, N, optimize=True)
     return np.einsum("eik,ek->ei", R, v)
 
 
@@ -500,7 +536,7 @@ def tet_deriv(points, tets, test_order: int, trial_order: int, d: int,
 
     ``c``: None, [ne] (constant per element), or [ne, 4] (P1-interpolated
     per-vertex field)."""
-    pts, w = tet_quadrature()
+    pts, w = tet_quadrature(3)
     Nt, _ = tet_basis(test_order, pts)
     _, dNu = tet_basis(trial_order, pts)
     N1, _ = tet_basis(1, pts)
@@ -509,14 +545,14 @@ def tet_deriv(points, tets, test_order: int, trial_order: int, d: int,
     # physical d-derivative of trial basis: g[e,q,j] = dNu[q,j,m]·Jinv[e,m,d]
     g = np.einsum("qjm,em->eqj", dNu, Jinv[:, :, d])
     if c is None:
-        K = np.einsum("q,qi,eqj->eij", w, Nt, g)
+        K = np.einsum("q,qi,eqj->eij", w, Nt, g, optimize=True)
         return absdet[:, None, None] * K
     c = np.asarray(c)
     if c.ndim == 1:
-        K = np.einsum("q,qi,eqj->eij", w, Nt, g)
+        K = np.einsum("q,qi,eqj->eij", w, Nt, g, optimize=True)
         return (absdet * c)[:, None, None] * K
     cq = np.einsum("ek,qk->eq", c, N1)
-    return np.einsum("e,eq,q,qi,eqj->eij", absdet, cq, w, Nt, g)
+    return np.einsum("e,eq,q,qi,eqj->eij", absdet, cq, w, Nt, g, optimize=True)
 
 
 def tet_field_deriv(points, tets, c, d: int) -> np.ndarray:

@@ -50,9 +50,22 @@ def simplex_keys(simplices: np.ndarray) -> np.ndarray:
     return s
 
 
-def _key_view(sorted_simplices: np.ndarray):
+def _key_view(sorted_simplices: np.ndarray, n_max: int = 0):
+    """Sortable 1-D key array for canonically sorted simplex rows.
+
+    When the vertex ids fit, rows are packed into single int64 mixed-radix
+    keys (fast scalar sort); otherwise a structured void view is used
+    (lexicographic compare per field, slower)."""
     a = np.ascontiguousarray(sorted_simplices)
-    return a.view([("", a.dtype)] * a.shape[1]).ravel()
+    k = a.shape[1]
+    if n_max <= 0:
+        n_max = int(a.max()) + 1 if a.size else 1
+    if n_max ** k < (1 << 62):
+        key = a[:, 0].astype(np.int64)
+        for j in range(1, k):
+            key = key * n_max + a[:, j]
+        return key
+    return a.view([("", a.dtype)] * k).ravel()
 
 
 def unique_simplices(simplices: np.ndarray):
@@ -72,8 +85,10 @@ def find_simplices(store: np.ndarray, query: np.ndarray) -> np.ndarray:
     vectorized find_smplx (sorter.jl:158-169)."""
     if len(store) == 0:
         return np.full(len(query), -1, dtype=np.int64)
-    skeys = _key_view(simplex_keys(store))
-    qkeys = _key_view(simplex_keys(np.asarray(query, dtype=np.int64)))
+    query = np.asarray(query, dtype=np.int64)
+    n_max = max(int(store.max()), int(query.max()) if query.size else 0) + 1
+    skeys = _key_view(simplex_keys(store), n_max)
+    qkeys = _key_view(simplex_keys(query), n_max)
     order = np.argsort(skeys)
     pos = np.searchsorted(skeys[order], qkeys)
     pos = np.clip(pos, 0, len(store) - 1)
@@ -193,8 +208,10 @@ class Mesh:
         pos = find_simplices(faces, self.triangles)
         if np.any(pos < 0):
             # fall back: faces store is non-unique; build key match
-            fkeys = _key_view(simplex_keys(faces))
-            tkeys = _key_view(simplex_keys(self.triangles))
+            # (shared radix — keys from different arrays must agree)
+            n_max = max(int(faces.max()), int(self.triangles.max())) + 1
+            fkeys = _key_view(simplex_keys(faces), n_max)
+            tkeys = _key_view(simplex_keys(self.triangles), n_max)
             order = np.argsort(fkeys)
             loc = np.searchsorted(fkeys[order], tkeys)
             loc = np.clip(loc, 0, len(faces) - 1)

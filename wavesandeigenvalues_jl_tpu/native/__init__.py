@@ -73,7 +73,7 @@ def _load():
         p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.wae_rcm.argtypes = [i64, p_i64, p_i64, p_i64]
         lib.wae_rcm.restype = None
-        lib.wae_coo_dedup.argtypes = [i64, p_i64, p_i64, p_f64]
+        lib.wae_coo_dedup.argtypes = [i64, p_i64, p_i64, p_f64, i64]
         lib.wae_coo_dedup.restype = i64
         lib.wae_csr_spmm.argtypes = [i64, i64, p_i64, p_i64, p_f64, p_f64,
                                      p_f64, i64]
@@ -99,17 +99,21 @@ def rcm(indptr: np.ndarray, indices: np.ndarray):
     return perm
 
 
-def coo_dedup(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray):
+def coo_dedup(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+              n_cols: int = 0):
     """Native COO sort+dedup (duplicates summed, exact zeros dropped);
-    None when the library is unavailable."""
+    None when the library is unavailable.  ``n_cols`` > 0 enables the
+    packed-key parallel sort (requires n_rows·n_cols < 2⁶³)."""
     lib = _load()
     if lib is None:
         return None
-    rows = np.ascontiguousarray(rows, np.int64).copy()
-    cols = np.ascontiguousarray(cols, np.int64).copy()
-    vals = np.ascontiguousarray(vals, np.complex128).copy()
+    rows = np.array(rows, np.int64, copy=True, order="C")
+    cols = np.array(cols, np.int64, copy=True, order="C")
+    vals = np.array(vals, np.complex128, copy=True, order="C")
+    if n_cols and rows.size and int(rows.max()) >= (1 << 62) // max(n_cols, 1):
+        n_cols = 0
     m = lib.wae_coo_dedup(len(rows), rows, cols,
-                          vals.view(np.float64))
+                          vals.view(np.float64), n_cols)
     return rows[:m], cols[:m], vals[:m]
 
 

@@ -72,20 +72,65 @@ void wae_rcm(int64_t n, const int64_t* indptr, const int64_t* indices,
 
 // Sort COO triplets by (row, col), sum duplicates, drop exact zeros.
 // vals is interleaved complex (2*nnz doubles).  Writes compacted triplets
-// in place and returns the new entry count.
+// in place and returns the new entry count.  n_cols packs (row, col) into
+// one 64-bit sort key (requires n_rows*n_cols < 2^63 — FEM dims qualify);
+// pass n_cols = 0 to force the generic comparison path.
 int64_t wae_coo_dedup(int64_t nnz, int64_t* rows, int64_t* cols,
-                      double* vals) {
+                      double* vals, int64_t n_cols) {
     if (nnz == 0) return 0;
-    std::vector<int64_t> order(nnz);
-    std::iota(order.begin(), order.end(), 0);
-    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-        if (rows[a] != rows[b]) return rows[a] < rows[b];
-        return cols[a] < cols[b];
-    });
+    std::vector<std::pair<int64_t, int64_t>> kv(nnz);  // (key, src index)
+    if (n_cols > 0) {
+        for (int64_t i = 0; i < nnz; ++i)
+            kv[i] = {rows[i] * n_cols + cols[i], i};
+    } else {
+        for (int64_t i = 0; i < nnz; ++i) kv[i] = {rows[i], i};
+    }
+    const int64_t par_threshold = 1 << 17;
+    if (nnz >= par_threshold) {
+        // parallel sample sort: partition by key into T buckets, sort each
+        unsigned hw = std::thread::hardware_concurrency();
+        int64_t T = hw ? static_cast<int64_t>(hw) : 4;
+        if (T > 16) T = 16;
+        auto mm = std::minmax_element(kv.begin(), kv.end());
+        const int64_t lo = mm.first->first, hi = mm.second->first;
+        if (hi > lo) {
+            const double scale = static_cast<double>(T) /
+                                 (static_cast<double>(hi - lo) + 1.0);
+            std::vector<std::vector<std::pair<int64_t, int64_t>>> buckets(T);
+            for (auto& b : buckets) b.reserve(2 * nnz / T);
+            for (const auto& p : kv) {
+                int64_t b = static_cast<int64_t>(
+                    static_cast<double>(p.first - lo) * scale);
+                if (b >= T) b = T - 1;
+                buckets[b].push_back(p);
+            }
+            std::vector<std::thread> threads;
+            for (int64_t t = 0; t < T; ++t)
+                threads.emplace_back([&buckets, t]() {
+                    std::sort(buckets[t].begin(), buckets[t].end());
+                });
+            for (auto& th : threads) th.join();
+            int64_t o = 0;
+            for (const auto& b : buckets)
+                for (const auto& p : b) kv[o++] = p;
+        } else {
+            std::sort(kv.begin(), kv.end());
+        }
+    } else {
+        std::sort(kv.begin(), kv.end());
+    }
+    if (n_cols == 0) {
+        std::stable_sort(kv.begin(), kv.end(),
+                         [&](const std::pair<int64_t, int64_t>& a,
+                             const std::pair<int64_t, int64_t>& b) {
+                             if (a.first != b.first) return a.first < b.first;
+                             return cols[a.second] < cols[b.second];
+                         });
+    }
     std::vector<int64_t> r2(nnz), c2(nnz);
     std::vector<double> v2(2 * nnz);
     for (int64_t i = 0; i < nnz; ++i) {
-        int64_t o = order[i];
+        int64_t o = kv[i].second;
         r2[i] = rows[o];
         c2[i] = cols[o];
         v2[2 * i] = vals[2 * o];

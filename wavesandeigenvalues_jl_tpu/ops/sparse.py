@@ -40,7 +40,7 @@ def coo_sum_duplicates(rows, cols, vals, shape):
         return rows.astype(IDTYPE), cols.astype(IDTYPE), vals
     if rows.size >= 1 << 15 and vals.dtype == np.complex128:
         from .. import native
-        out = native.coo_dedup(rows, cols, vals)
+        out = native.coo_dedup(rows, cols, vals, n_cols=int(shape[1]))
         if out is not None:
             r, c, v = out
             return r.astype(IDTYPE), c.astype(IDTYPE), v
