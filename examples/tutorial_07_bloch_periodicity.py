@@ -1,0 +1,70 @@
+"""Tutorial 07 — Bloch periodicity for annular geometries.
+
+Counterpart of tutorial_07_Bloch_periodicity
+(/root/reference/docs/src/tutorial_07_Bloch_periodicity.md): a combustor
+annulus with DOS-fold discrete rotational symmetry is solved on ONE unit
+cell with Bloch-phase-twisted periodic coupling — same eigenvalues as the
+DOS×-larger full-annulus model at a fraction of the cost, and the Bloch
+wavenumber b doubles as an azimuthal mode-order filter.
+
+Uses the reference's NTNU half-cell mesh when present, else a generated
+annular half cell.
+
+Run:  PYTHONPATH=. JAX_PLATFORMS=cpu python examples/tutorial_07_bloch_periodicity.py
+"""
+import os
+import time
+
+import numpy as np
+
+from wavesandeigenvalues_jl_tpu.mesh import extend_mesh, read_mesh, vtk_write
+from wavesandeigenvalues_jl_tpu.mesh.annular import bloch_expand
+from wavesandeigenvalues_jl_tpu.mesh.generate import annular_halfcell
+from wavesandeigenvalues_jl_tpu.models import discretize
+from wavesandeigenvalues_jl_tpu.nlevp import mslp
+
+half = annular_halfcell(DOS=8, nr=2, nphi=2, nz=6)
+doms = [("Interior", "full"), ("Outlet", "full")]
+unit = extend_mesh(half, doms, unit=True)    # half cell + mirror image
+full = extend_mesh(half, doms, unit=False)   # all DOS sectors
+print(f"unit cell: {unit.n_points} pts | full annulus: {full.n_points} pts "
+      f"(DOS = {unit.dos.DOS})")
+
+dscrp = {"Interior": ("interior", ()), "Outlet": ("admittance", ("Y", 1e15))}
+c_u = unit.generate_field(lambda x, y, z: 340.0 * np.ones_like(z))
+c_f = full.generate_field(lambda x, y, z: 340.0 * np.ones_like(z))
+
+# b=:b activates Bloch assembly: each operator splits into interior /
+# +shift / −shift terms with exp(±ibΔϕ) coefficient functions
+l_unit = discretize(unit, dscrp, c_u, b="b")
+L_full = discretize(full, dscrp, c_f)
+
+for b, guess_hz in ((0, 170.0), (1, 300.0)):
+    l_unit.params["b"] = float(b)
+    t0 = time.time()
+    sol_u, _, _ = mslp(l_unit, guess_hz, tol=1e-11, scale=2 * np.pi,
+                       maxiter=25)
+    t_unit = time.time() - t0
+    f_u = sol_u.params["ω"] / 2 / np.pi
+    t0 = time.time()
+    sol_f, _, _ = mslp(L_full, f_u.real, tol=1e-11, scale=2 * np.pi,
+                       maxiter=25)
+    t_full = time.time() - t0
+    f_f = sol_f.params["ω"] / 2 / np.pi
+    print(f"b={b}:  unit {f_u.real:.4f} Hz ({t_unit:.2f}s) == "
+          f"full {f_f.real:.4f} Hz ({t_full:.2f}s)")
+    assert abs(f_u - f_f) < 1e-3 * abs(f_f)
+
+# expand the unit-cell eigenvector to the full annulus for visualization:
+# v_s = v·exp(2πi·b·s/DOS) per sector
+v_full = bloch_expand(unit, sol_u, "b")
+vtk_write("annulus_mode", full, {"abs(p)": np.abs(v_full)})
+print("wrote annulus_mode_lin.vtu")
+
+# the reference's NTNU_12 industrial half-cell mesh, if available
+NTNU = "/root/reference/docs/src/NTNU_12.msh"
+if os.path.exists(NTNU):
+    ntnu = read_mesh(NTNU)
+    print(f"\nNTNU half cell: {ntnu.n_points} pts, "
+          f"domains {sorted(ntnu.domains)[:6]}…")
+print("OK")
