@@ -106,12 +106,45 @@ def main():
     host_dt = (time.perf_counter() - t0) / host_reps
     host_nnz_per_s = nnz * NRHS / host_dt
 
+    # --- accuracy + eigensolve wall-time vs the reference's committed
+    # numbers (BASELINE.md): active Rijke eigenvalue on Rijke_mm.msh -----
+    accuracy = {}
+    ref_msh = "/root/reference/docs/src/Rijke_mm.msh"
+    if os.path.exists(ref_msh):
+        from wavesandeigenvalues_jl_tpu.mesh import read_mesh
+        from wavesandeigenvalues_jl_tpu.models import discretize
+        from wavesandeigenvalues_jl_tpu.nlevp import mslp
+
+        mesh = read_mesh(ref_msh, scale=1e-3)
+        gamma, R, Tu, Tb, P0, rho = 1.4, 287.05, 300.0, 1200.0, 101325.0, 1.225
+        Q02U0 = P0 * (Tb / Tu - 1) * np.pi * 0.025 ** 2 * gamma / (gamma - 1)
+        cref = np.where(mesh.points[2] < 0, np.sqrt(gamma * R * Tu),
+                        np.sqrt(gamma * R * Tb))
+        Lr = discretize(mesh, {
+            "Interior": ("interior", ()),
+            "Outlet": ("admittance", ("Y", 1e15)),
+            "Flame": ("flame", (gamma, rho, Q02U0, [0.0, 0.0, -0.0012],
+                                [0.0, 0.0, 1.0], "n", "τ", 1.0, 1e-3)),
+        }, cref)
+        t0 = time.perf_counter()
+        sol, its, flag = mslp(Lr, 340 * 2 * np.pi, maxiter=20, tol=1e-11)
+        t_solve = time.perf_counter() - t0
+        om_ref = 1075.3252115068386 + 372.1017670372039j  # tutorial_04:81
+        accuracy = {
+            "rijke_active_omega": [sol.params["ω"].real, sol.params["ω"].imag],
+            "abs_err_vs_ref_rad_s": abs(sol.params["ω"] - om_ref),
+            "rel_err_vs_ref": abs(sol.params["ω"] - om_ref) / abs(om_ref),
+            "eigensolve_wall_s": t_solve,
+            "eigensolve_iters": its,
+        }
+
     result = {
         "metric": "helmholtz_operator_spmm128_nnz_per_s_per_chip",
         "value": device_nnz_per_s,
         "unit": "nnz/s",
         "vs_baseline": device_nnz_per_s / host_nnz_per_s,
         "extra": {
+            "accuracy": accuracy,
             "backend": backend,
             "kernel": "pallas_bsr" if use_pallas else "xla_bsr",
             "dim": n,
