@@ -56,7 +56,18 @@ def _speed_of_sound(mesh: Mesh, C, tet_dofs, tri_dofs):
 def discretize(mesh: Mesh, dscrp: Dict, C, order: str = "lin",
                b: Optional[str] = None, mass_weighting: bool = True,
                source: bool = False, output: bool = False):
-    """Assemble the Helmholtz operator family (Helmholtz.jl:54-581).
+    """Assemble the Helmholtz operator family (Helmholtz.jl:54-581);
+    timed under the ``helmholtz.discretize`` phase (utils/timing.py)."""
+    from ..utils.timing import phase
+    with phase("helmholtz.discretize"):
+        return _discretize_impl(mesh, dscrp, C, order, b, mass_weighting,
+                                source, output)
+
+
+def _discretize_impl(mesh: Mesh, dscrp: Dict, C, order: str,
+                     b: Optional[str], mass_weighting: bool,
+                     source: bool, output: bool):
+    """Assembly body (Helmholtz.jl:54-581).
 
     Returns the family L; with ``source=True`` also the parameterized
     forcing vector family.  ``b`` activates Bloch-periodic assembly on a

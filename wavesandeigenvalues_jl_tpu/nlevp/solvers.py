@@ -483,13 +483,15 @@ def compute_moment_matrices(L: OperatorFamily, Gamma, V=None, l=5, K=1,
 
     The quadrature nodes are independent shifted multi-RHS solves — the
     prime batching axis (each node = one dense LU + l triangular solves)."""
+    from ..utils.timing import phase
     d = L.size
     if V is None:
         V = initialize_V(d, l, random=random)
     d, l = V.shape
     zs, ws = gauss_nodes(Gamma, N)
     A = np.zeros((d, l, 2 * K), dtype=CDTYPE)
-    for z, w in zip(zs, ws):
+    with phase("beyn.moments"):
+      for z, w in zip(zs, ws):
         X = factorize(L(z), check=True).solve(V)
         zp = w
         for p in range(2 * K):
