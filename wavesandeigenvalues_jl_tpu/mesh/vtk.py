@@ -106,6 +106,9 @@ def vtk_write(filename: str, mesh: Mesh, data: Dict[str, np.ndarray],
     n_tri = len(mesh.triangles)
     n_p2 = n_pts + len(mesh.lines) if len(mesh.lines) else -1
 
+    n_herm = 4 * n_pts + len(mesh.triangles) + len(mesh.int_triangles) \
+        if len(mesh.int_triangles) else -1
+
     const_d, lin_d, quad_d, tri_d = {}, {}, {}, {}
     for k, v in data.items():
         n = len(np.asarray(v))
@@ -117,6 +120,9 @@ def vtk_write(filename: str, mesh: Mesh, data: Dict[str, np.ndarray],
             quad_d[k] = v
         elif n == n_tri:
             tri_d[k] = v
+        elif n == n_herm:
+            # Hermite solution: write the vertex value DOFs as point data
+            lin_d[k] = np.asarray(v)[:n_pts]
         else:
             raise ValueError(
                 f"data {k!r} length {n} matches neither points ({n_pts}), "
