@@ -5,8 +5,9 @@ The reference ships ~2600 lines of hand-expanded closed-form local matrices
 precomputed reference-element quadrature tables, batched across the whole
 element set at once — the natural shape for XLA/TPU (one [ne, k, k] tensor
 per operator instead of ne small-matrix calls).  The quadrature (collapsed
-Duffy/Gauss tensor rule) is chosen per kernel to be exact for the integrand
-degree (≤5 for P1/P2 mass, ≤4 for stiffness/convection, ≤9 for Hermite),
+Duffy/Gauss tensor rule, exact to degree 2n-3 on the tet / 2n-2 on the tri
+for n points per axis) is chosen per kernel to cover the integrand degree
+(5 for P1/P2 c-weighted mass, 4 for stiffness/convection, 7 for Hermite),
 so results agree with the reference's symbolic tables to machine precision.
 
 Local DOF ordering matches aggregate_elements (FEM.jl:84-166):
@@ -38,7 +39,9 @@ def _gauss01(n: int):
 @lru_cache(maxsize=None)
 def tet_quadrature(n: int = 4):
     """Collapsed (Duffy) tensor rule on the unit tetrahedron
-    {x,y,z>0, x+y+z<1}; exact for total degree 2n-1 ≥ 7 with n=4."""
+    {x,y,z>0, x+y+z<1}.  The collapse Jacobian (1-u)²(1-v) raises the
+    per-axis degree, so n points per axis are exact for total degree
+    2n-3 only (verified numerically; n=4 → degree 5)."""
     g, w = _gauss01(n)
     pts, wts = [], []
     for i, (u, wu) in enumerate(zip(g, w)):
@@ -55,7 +58,8 @@ def tet_quadrature(n: int = 4):
 
 @lru_cache(maxsize=None)
 def tri_quadrature(n: int = 4):
-    """Collapsed tensor rule on the unit triangle {x,y>0, x+y<1}."""
+    """Collapsed tensor rule on the unit triangle {x,y>0, x+y<1};
+    exact for total degree 2n-2 (the (1-u) Jacobian costs one degree)."""
     g, w = _gauss01(n)
     pts, wts = [], []
     for u, wu in zip(g, w):
@@ -160,7 +164,7 @@ def tri_trafo(points: np.ndarray, tris: np.ndarray):
 @lru_cache(maxsize=None)
 def _tet_mass_tables(order: int):
     """T0[i,j] = ∫ φiφj and Tc[k, i·j] = ∫ λk φiφj on the reference tet."""
-    pts, w = tet_quadrature(3)
+    pts, w = tet_quadrature(4)
     N, _ = tet_basis(order, pts)
     N1, _ = tet_basis(1, pts)
     T0 = np.einsum("q,qi,qj->ij", w, N, N)
@@ -173,7 +177,7 @@ def _tet_mass_tables(order: int):
 def _tet_stiff_tables(order: int):
     """T0[m·o, i·j] = ∫ dNi_m dNj_o and Tc[k·l·m·o, i·j] = ∫ λkλl dNi_m dNj_o
     (reference-gradient tensors; contracted with JinvJinvᵀ per element)."""
-    pts, w = tet_quadrature(3)
+    pts, w = tet_quadrature(4)
     _, dN = tet_basis(order, pts)
     N1, _ = tet_basis(1, pts)
     T0 = np.einsum("q,qim,qjo->moij", w, dN, dN)
@@ -184,7 +188,7 @@ def _tet_stiff_tables(order: int):
 
 @lru_cache(maxsize=None)
 def _tri_mass_tables(order: int):
-    pts, w = tri_quadrature(3)
+    pts, w = tri_quadrature(4)
     N = tri_basis(order, pts)
     N1 = tri_basis(1, pts)
     T0 = np.einsum("q,qi,qj->ij", w, N, N)
@@ -257,7 +261,7 @@ def tet_source(points, tets, order: int) -> np.ndarray:
     """[ne,k] volume source vectors ∫ φi (s43v1/s43v2, FEM.jl:2429-2436)."""
     if order == "herm":
         return tet_source_herm(points, tets)
-    pts, w = tet_quadrature(2)
+    pts, w = tet_quadrature(3)
     N, _ = tet_basis(order, pts)
     _, _, det = tet_trafo(points, tets)
     v = np.einsum("q,qi->i", w, N)
@@ -268,7 +272,7 @@ def tri_source(points, tris, order: int, c=None) -> np.ndarray:
     """[ne,k] wall source ∫ c φi (s33v1[c1]/s33v2[c1], FEM.jl:2557-2608)."""
     if order == "herm":
         return tri_source_herm(points, tris, c)
-    pts, w = tri_quadrature(2)
+    pts, w = tri_quadrature(3)
     N = tri_basis(order, pts)
     N1 = tri_basis(1, pts)
     _, _, det = tri_trafo(points, tris)
@@ -536,7 +540,7 @@ def tet_deriv(points, tets, test_order: int, trial_order: int, d: int,
 
     ``c``: None, [ne] (constant per element), or [ne, 4] (P1-interpolated
     per-vertex field)."""
-    pts, w = tet_quadrature(3)
+    pts, w = tet_quadrature(4)
     Nt, _ = tet_basis(test_order, pts)
     _, dNu = tet_basis(trial_order, pts)
     N1, _ = tet_basis(1, pts)

@@ -28,14 +28,21 @@ import numpy as np
 
 def _givens(a, b):
     """Complex Givens rotation zeroing b: returns (c, s) with
-    [c  s; -conj(s) c]ᴴ-style application, c real."""
+    [c  s; -conj(s) c]ᴴ-style application, c real.
+
+    All scalar constants are materialized in the operand dtypes: weak-typed
+    f64/c128 literals would insert c128→f32 converts that the TPU x64
+    rewriter cannot lower."""
+    rone = jnp.ones((), jnp.abs(a).dtype)
+    cone = jnp.ones((), a.dtype)
+    czero = jnp.zeros((), a.dtype)
     denom = jnp.sqrt(jnp.abs(a) ** 2 + jnp.abs(b) ** 2)
-    safe = jnp.where(denom == 0, 1.0, denom)
-    c = jnp.where(denom == 0, 1.0, jnp.abs(a) / safe)
-    s = jnp.where(denom == 0, 0.0 + 0.0j,
-                  jnp.where(jnp.abs(a) == 0, 1.0 + 0.0j,
-                            (a / jnp.where(jnp.abs(a) == 0, 1.0, jnp.abs(a)))
-                            * jnp.conj(b) / safe))
+    safe = jnp.where(denom == 0, rone, denom)
+    c = jnp.where(denom == 0, rone, jnp.abs(a) / safe)
+    absa = jnp.abs(a)
+    phase = a / jnp.where(absa == 0, rone, absa)
+    s = jnp.where(denom == 0, czero,
+                  jnp.where(absa == 0, cone, phase * jnp.conj(b) / safe))
     return c, s
 
 
@@ -56,17 +63,22 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     if x0 is None:
         x0 = jnp.zeros_like(b)
     Minv = precond if precond is not None else (lambda v: v)
+    rdtype = jnp.zeros(0, dtype).real.dtype
+    rone = jnp.ones((), rdtype)
+    czero = jnp.zeros((), dtype)
     bnorm = jnp.linalg.norm(b)
-    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    bnorm = jnp.where(bnorm == 0, rone, bnorm)
 
     def arnoldi_cycle(x):
         r = b - matvec(x)
         beta = jnp.linalg.norm(r)
         V = jnp.zeros((m + 1, n), dtype)
         H = jnp.zeros((m + 1, m), dtype)
-        V = V.at[0].set(r / jnp.where(beta == 0, 1.0, beta))
-        # Givens-rotated least-squares state
-        cs = jnp.zeros(m)
+        V = V.at[0].set(r / jnp.where(beta == 0, rone, beta))
+        # Givens-rotated least-squares state (cs real in b's REAL dtype:
+        # a float64 default would promote complex64 work to complex128,
+        # which TPUs cannot convert)
+        cs = jnp.zeros(m, rdtype)
         sn = jnp.zeros(m, dtype)
         g = jnp.zeros(m + 1, dtype).at[0].set(beta.astype(dtype))
 
@@ -77,10 +89,10 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
             # rows, rows > j are zero so the dots vanish)
             h = jnp.einsum("kn,n->k", jnp.conj(V), w)
             mask = (jnp.arange(m + 1) <= j)
-            h = jnp.where(mask, h, 0.0)
+            h = jnp.where(mask, h, czero)
             w = w - jnp.einsum("k,kn->n", h, V)
             hn = jnp.linalg.norm(w)
-            V2 = V.at[j + 1].set(w / jnp.where(hn == 0, 1.0, hn))
+            V2 = V.at[j + 1].set(w / jnp.where(hn == 0, rone, hn))
             Hcol = h.at[j + 1].set(hn.astype(dtype))
             # apply accumulated rotations to the new column
             def rot(i, col):
@@ -89,7 +101,8 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
                 return col.at[i].set(hi).at[i + 1].set(hip)
             Hcol = jax.lax.fori_loop(0, j, rot, Hcol)
             c, s = _givens(Hcol[j], Hcol[j + 1])
-            Hcol = Hcol.at[j].set(c * Hcol[j] + s * Hcol[j + 1]).at[j + 1].set(0)
+            Hcol = Hcol.at[j].set(c * Hcol[j]
+                                  + s * Hcol[j + 1]).at[j + 1].set(czero)
             g2 = g.at[j + 1].set(-jnp.conj(s) * g[j]).at[j].set(c * g[j]
                                                                 + s * g[j + 1])
             return (V2, H.at[:, j].set(Hcol), cs.at[j].set(c),
@@ -97,17 +110,21 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
 
         V, H, cs, sn, g = jax.lax.fori_loop(0, m, body, (V, H, cs, sn, g))
         # back substitution on the m×m triangular H
+        cone = jnp.ones((), dtype)
+
         def back(i_rev, y):
             i = m - 1 - i_rev
             num = g[i] - jnp.dot(H[i, :], y)
-            return y.at[i].set(num / jnp.where(H[i, i] == 0, 1.0, H[i, i]))
+            return y.at[i].set(num / jnp.where(H[i, i] == 0, cone, H[i, i]))
         y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype))
         x_new = x + Minv(jnp.einsum("k,kn->n", y, V[:m]))
         return x_new
 
+    tol_r = jnp.asarray(tol, rdtype)
+
     def cond(state):
         x, it, res = state
-        return jnp.logical_and(it < max_restarts, res > tol)
+        return jnp.logical_and(it < max_restarts, res > tol_r)
 
     def step(state):
         x, it, _ = state
@@ -120,25 +137,24 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     return x, res, its
 
 
-def block_jacobi(A, bs: int = 64):
-    """Right preconditioner v ↦ D⁻¹v from the inverted [bs,bs] diagonal
-    blocks of a host CSR matrix; returns a jittable closure over device
-    arrays (the standard smoother for RCM-ordered FEM operators)."""
-    n = A.shape[0]
+def _block_diag_inv(rows, cols, data, n: int, bs: int) -> np.ndarray:
+    """[nb, bs, bs] inverted diagonal blocks of a COO matrix (duplicates
+    summed); empty pad rows regularized to identity."""
     nb = (n + bs - 1) // bs
-    npad = nb * bs
-    D = np.zeros((nb, bs, bs), dtype=A.data.dtype)
-    rows, cols, vals = A.to_coo()
+    D = np.zeros((nb, bs, bs), np.complex128)
     sel = (rows // bs) == (cols // bs)
-    r, c, v = rows[sel], cols[sel], vals[sel]
-    D[r // bs, r % bs, c % bs] = v
-    # regularize empty pad rows
-    for b in range(nb):
-        d = np.abs(np.diagonal(D[b]))
-        fix = np.where(d == 0)[0]
-        D[b, fix, fix] = 1.0
-    Dinv = np.linalg.inv(D)
-    Dinv_dev = jnp.asarray(Dinv)
+    np.add.at(D, (rows[sel] // bs, rows[sel] % bs, cols[sel] % bs),
+              data[sel])
+    idx = np.arange(bs)
+    dead = np.abs(D[:, idx, idx]) == 0
+    D[:, idx, idx] = np.where(dead, 1.0, D[:, idx, idx])
+    return np.linalg.inv(D)
+
+
+def _block_apply(Dinv_dev, n: int):
+    """Jittable closure v ↦ D⁻¹v over the device block inverses."""
+    nb, bs = Dinv_dev.shape[0], Dinv_dev.shape[1]
+    npad = nb * bs
 
     def apply(v):
         vp = jnp.zeros(npad, v.dtype).at[:n].set(v)
@@ -148,6 +164,20 @@ def block_jacobi(A, bs: int = 64):
     return apply
 
 
+def block_jacobi(A, bs: int = 64):
+    """Right preconditioner v ↦ D⁻¹v from the inverted [bs,bs] diagonal
+    blocks of a host CSR matrix (the standard smoother for RCM-ordered FEM
+    operators).  The block inverses stay HOST numpy and are embedded as
+    program constants by jit — eagerly-created complex device arrays could
+    never be re-fetched under the axon runtime (no complex transfers)."""
+    from ..utils.config import device_complex_dtype
+    rows, cols, vals = A.to_coo()
+    Dinv = _block_diag_inv(np.asarray(rows, np.int64),
+                           np.asarray(cols, np.int64),
+                           np.asarray(vals, np.complex128), A.shape[0], bs)
+    return _block_apply(Dinv.astype(device_complex_dtype()), A.shape[0])
+
+
 def solve_shifted_batch(family, zs, B, tol: float = 1e-8, restart: int = 60,
                         max_restarts: int = 50, bs: int = 64):
     """Solve L(z_s) X_s = B_s for a batch of shifts on device — the Beyn
@@ -155,60 +185,77 @@ def solve_shifted_batch(family, zs, B, tol: float = 1e-8, restart: int = 60,
 
     ``family``: an OperatorFamily; ``zs``: [S] complex shifts; ``B``:
     [S, n] right-hand sides.  Uses the union-pattern stacked operator (one
-    gather/scatter structure for every shift) and per-shift block-Jacobi
-    preconditioners.  Returns [S, n] solutions (host complex)."""
+    gather/scatter structure for every shift) and per-shift LEFT
+    block-Jacobi preconditioners.  Returns [S, n] solutions (host
+    complex); the reported residuals are the *preconditioned* residuals
+    ‖D⁻¹(b−Ax)‖/‖D⁻¹b‖.
+
+    Axon-runtime complex rules: batched complex INPUTS ship as (re, im)
+    float planes recombined with lax.complex inside the jitted function;
+    shift-independent complex data (the value stack) stays host numpy and
+    is embedded as a program constant; outputs are fetched as planes
+    (hostxfer.to_numpy).  On TPU the compute dtype is complex64 — use
+    :func:`.refine.refine` on top for complex128 accuracy when
+    κ(D⁻¹A)·ε_f32 ≪ 1."""
+    from ..utils.config import device_complex_dtype
+    from ..utils.hostxfer import to_numpy
+    cdt = device_complex_dtype()
+    rdt = np.float32 if cdt == np.complex64 else np.float64
     S = family._stack()
-    vals = jnp.asarray(S.values)            # [K, nnz]
-    rows = jnp.asarray(S.row_ids(), jnp.int32)
-    cols = jnp.asarray(S.indices, jnp.int32)
+    vals_h = S.values.astype(cdt)             # [K, nnz] host constant
+    rows = np.asarray(S.row_ids(), np.int32)
+    cols = np.asarray(S.indices, np.int32)
     n = S.shape[0]
 
     zs = np.asarray(zs)
-    coeffs = np.zeros((len(zs), vals.shape[0]), np.complex128)
+    coeffs = np.zeros((len(zs), vals_h.shape[0]), np.complex128)
     eig = family.eigval
     z_saved = family.params[eig]
     for i, z in enumerate(zs):
         family.params[eig] = complex(z)
         coeffs[i] = family.coefficients({})
     family.params[eig] = z_saved
-    cdev = jnp.asarray(coeffs)
 
-    # per-shift block-Jacobi: build on host (sparse diag extraction)
-    nb = (n + bs - 1) // bs
-    npad = nb * bs
+    # per-shift block-Jacobi built on host (sparse diag extraction)
     r_h, c_h = np.asarray(S.row_ids()), np.asarray(S.indices)
-    sel = (r_h // bs) == (c_h // bs)
-    vals_h = np.asarray(S.values)
-    Dinv = np.empty((len(zs), nb, bs, bs), np.complex128)
-    for i in range(len(zs)):
-        data = coeffs[i] @ vals_h
-        D = np.zeros((nb, bs, bs), np.complex128)
-        np.add.at(D, (r_h[sel] // bs, r_h[sel] % bs, c_h[sel] % bs),
-                  data[sel])
-        for b in range(nb):
-            d = np.abs(np.diagonal(D[b]))
-            fix = np.where(d == 0)[0]
-            D[b, fix, fix] = 1.0
-        Dinv[i] = np.linalg.inv(D)
-    Dinv_dev = jnp.asarray(Dinv)
+    vals_full = np.asarray(S.values)
+    Dinv = np.stack([_block_diag_inv(r_h, c_h, coeffs[i] @ vals_full, n, bs)
+                     for i in range(len(zs))])
+    nb = Dinv.shape[1]
+    npad = nb * bs
 
-    def solve_one(c, Dinv_s, b_s):
-        data = c @ vals
+    def solve_one(cr, ci, dr, di, br, bi):
+        c = jax.lax.complex(cr, ci)
+        Dinv_s = jax.lax.complex(dr, di)
+        b_s = jax.lax.complex(br, bi)
+        data = c @ vals_h
 
-        def matvec(x):
+        def spmv(x):
             return jnp.zeros(n, data.dtype).at[rows].add(data * x[cols])
 
-        def precond(v):
+        def dinv(v):
             vp = jnp.zeros(npad, v.dtype).at[:n].set(v)
             out = jnp.einsum("bij,bj->bi", Dinv_s, vp.reshape(nb, bs))
             return out.reshape(-1)[:n]
 
-        x, res, its = gmres(matvec, b_s, tol=tol, restart=restart,
-                            max_restarts=max_restarts, precond=precond)
-        return x, res
+        # LEFT block-Jacobi: D⁻¹A x = D⁻¹b.  Left (not right) because
+        # penalty-BC operators have rows spanning ~16 orders of magnitude;
+        # left scaling normalizes them so single precision converges
+        # (right scaling leaves the huge rows in the residual norm).
+        x, res, its = gmres(lambda x: dinv(spmv(x)), dinv(b_s), tol=tol,
+                            restart=restart, max_restarts=max_restarts)
+        # outputs leave the jitted program as float planes — complex jit
+        # outputs cannot be fetched through the axon tunnel
+        return jnp.real(x), jnp.imag(x), res
 
-    X, res = jax.vmap(solve_one)(cdev, Dinv_dev, jnp.asarray(B))
-    return np.asarray(X), np.asarray(res)
+    def planes(x):
+        x = np.asarray(x)
+        return (np.ascontiguousarray(x.real).astype(rdt),
+                np.ascontiguousarray(x.imag).astype(rdt))
+
+    Xr, Xi, res = jax.jit(jax.vmap(solve_one))(*planes(coeffs), *planes(Dinv),
+                                               *planes(np.asarray(B)))
+    return np.asarray(Xr) + 1j * np.asarray(Xi), np.asarray(res)
 
 
 __all__ = ["gmres", "block_jacobi", "solve_shifted_batch"]

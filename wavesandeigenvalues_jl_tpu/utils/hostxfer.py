@@ -20,4 +20,20 @@ def to_numpy(x) -> np.ndarray:
     return np.asarray(x)
 
 
-__all__ = ["to_numpy"]
+def to_device_complex(x: np.ndarray):
+    """Ship a host complex array to the default device: transfer the real
+    and imaginary planes separately (the axon runtime rejects complex
+    buffers) and recombine with lax.complex on device."""
+    import jax
+
+    from .config import on_tpu
+    x = np.asarray(x)
+    rdt = np.float32 if on_tpu() else np.float64
+    if not np.iscomplexobj(x):
+        return jnp.asarray(x)
+    re = jnp.asarray(np.ascontiguousarray(x.real).astype(rdt))
+    im = jnp.asarray(np.ascontiguousarray(x.imag).astype(rdt))
+    return jax.lax.complex(re, im)
+
+
+__all__ = ["to_numpy", "to_device_complex"]
