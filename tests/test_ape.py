@@ -163,3 +163,23 @@ def test_ape_mean_flow_term():
     assert "v" in Lu.params
     s0 = 1j * 2000.0
     assert np.allclose(L0(s0).to_dense(), Lu(s0).to_dense(), atol=1e-12)
+
+
+def test_ape_uniform_flow_dispersion():
+    """Uniform mean flow U = M·c·ẑ in a rigid duct shifts the axial
+    resonances by the convective factor (1−M²): f_n = n·c(1−M²)/2L.  This
+    exercises the term-V/VI convection blocks nontrivially (a transposed
+    block, wrong sign or wrong derivative direction breaks the ratio)."""
+    c = np.sqrt(ape.AMBIENT_GAMMA * ape.AMBIENT_P / ape.AMBIENT_RHO)
+    mesh = box_mesh(lx=0.2, ly=0.2, lz=1.0, nx=1, ny=1, nz=14)
+    mesh.collect_lines()
+    L0 = ape.discretize(mesh, {})
+    s0 = mslp(L0, 1j * np.pi * c * 1.03, maxiter=40, tol=1e-10)[0].params["s"]
+    M = 0.2
+    U = np.zeros((3, mesh.n_points))
+    U[2] = M * c
+    Lu = ape.discretize(mesh, {}, U=U)
+    s = mslp(Lu, s0 * (1 - M ** 2), maxiter=60, tol=1e-10)[0].params["s"]
+    ratio = s.imag / s0.imag
+    assert abs(ratio - (1 - M ** 2)) < 5e-3
+    assert abs(s.real) < 1e-3 * abs(s)

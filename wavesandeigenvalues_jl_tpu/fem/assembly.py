@@ -24,11 +24,31 @@ def aggregate_elements(mesh: Mesh, order: str = "lin"):
     """Global DOF index lists per element and total DOF count
     (aggregate_elements, FEM.jl:84-166).
 
-    order 'lin': P1 (DOF = points); 'quad': P2 (points + edge midpoints).
-    Returns (tri_dofs [nt, k2], tet_dofs [ne, k3], dim)."""
+    order 'lin': P1 (DOF = points); 'quad': P2 (points + edge midpoints);
+    'herm': cubic Hermite (4 point banks + face bubbles).
+    Returns (tri_dofs [nt, k2], tet_dofs [ne, k3], dim).
+
+    P2/Hermite numberings are cached on the mesh (keyed by a connectivity
+    fingerprint — DOF numbering depends only on connectivity, so point
+    motion, e.g. during shape sensitivities, keeps the cache valid)."""
     n_pts = mesh.n_points
     if order == "lin":
         return mesh.triangles.copy(), mesh.tetrahedra.copy(), n_pts
+    fp = (order, n_pts, len(mesh.lines), len(mesh.triangles),
+          len(mesh.int_triangles), len(mesh.tetrahedra))
+    cache = getattr(mesh, "_dof_cache", None)
+    if cache is None or cache[0] != fp:
+        out = _aggregate_uncached(mesh, order)
+        # fingerprint AFTER building (collect_lines / int_triangles fill in)
+        fp = (order, n_pts, len(mesh.lines), len(mesh.triangles),
+              len(mesh.int_triangles), len(mesh.tetrahedra))
+        mesh._dof_cache = cache = (fp, out)
+    tri_dofs, tet_dofs, dim = cache[1]
+    return tri_dofs.copy(), tet_dofs.copy(), dim
+
+
+def _aggregate_uncached(mesh: Mesh, order: str):
+    n_pts = mesh.n_points
     if order == "quad":
         mesh.collect_lines()
         t = mesh.tetrahedra

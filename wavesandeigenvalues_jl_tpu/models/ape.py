@@ -68,6 +68,14 @@ def discretize(mesh: Mesh, dscrp: Dict, U: Optional[np.ndarray] = None,
     DOF layout (APE.jl:14,48-57): pressure P1 on [0, N_pts); velocity
     component d on [N_pts + d·B, N_pts + (d+1)·B) with B = N_pts + N_lines
     P2 DOFs per component; dim = N_pts + 3·B."""
+    from ..utils.timing import phase
+    if output:
+        print("Discretize APE...")
+    with phase("ape.discretize"):
+        return _discretize_impl(mesh, dscrp, U, P, rho, gamma, output)
+
+
+def _discretize_impl(mesh, dscrp, U, P, rho, gamma, output):
     mesh.collect_lines()
     _, tet_q, blk = fea.aggregate_elements(mesh, "quad")
     n_pts = mesh.n_points
@@ -171,6 +179,8 @@ def compute_potflow_field(mesh: Mesh, dscrp: Dict, order: str = "lin",
     if order not in ("const", "lin"):
         raise ValueError(f"order {order!r} not supported for potential flow "
                          "(available: 'const', 'lin')")
+    if output:
+        print(f"Computing potential flow (order={order})...")
     pts = mesh.points
     tets = mesh.tetrahedra
     felement = "lin" if order == "const" else "herm"
