@@ -25,10 +25,14 @@ from ..utils.config import device_complex_dtype
 
 
 def _family_device_data(L: OperatorFamily, dtype):
+    """Family stack as HOST arrays: complex values must stay numpy so jit
+    embeds them as program constants — an eagerly-created complex device
+    array can never be fetched back under the axon runtime (no complex
+    transfers), which breaks constant embedding at trace time."""
     S = L._stack()
-    values = jnp.asarray(S.values.astype(dtype))          # [K, nnz]
-    rows = jnp.asarray(S.row_ids(), jnp.int32)
-    cols = jnp.asarray(S.indices, jnp.int32)
+    values = S.values.astype(dtype)                       # [K, nnz] host
+    rows = np.asarray(S.row_ids(), np.int32)
+    cols = np.asarray(S.indices, np.int32)
     return values, rows, cols, S.shape[0]
 
 
@@ -95,27 +99,25 @@ def batched_moments(L: OperatorFamily, Gamma, V=None, l=5, K=1, N=16,
         X = jax.vmap(node_solve, in_axes=(0, 0, None))(cr_l, ci_l, Vc)
         pw = jax.lax.complex(pr_l, pi_l).astype(dtype)  # [b, 2K]
         Am = jnp.einsum("bp,bil->ilp", pw, X)
-        return Am
+        # leave the jitted program as float planes (axon: no complex out)
+        return jnp.real(Am), jnp.imag(Am)
 
     if mesh is None:
         f = jax.jit(moments_local)
-        Am = f(jnp.asarray(cr), jnp.asarray(ci), jnp.asarray(pr),
-               jnp.asarray(pi), jnp.asarray(Vr), jnp.asarray(Vi))
+        Ar, Ai = f(cr, ci, pr, pi, Vr, Vi)
     else:
         from jax import shard_map
 
         @jax.jit
         @partial(shard_map, mesh=mesh,
                  in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
-                 out_specs=P())
+                 out_specs=(P(), P()))
         def f(cr_l, ci_l, pr_l, pi_l, Vr_, Vi_):
-            Am = moments_local(cr_l, ci_l, pr_l, pi_l, Vr_, Vi_)
-            return jax.lax.psum(Am, axis)
+            Ar, Ai = moments_local(cr_l, ci_l, pr_l, pi_l, Vr_, Vi_)
+            return jax.lax.psum(Ar, axis), jax.lax.psum(Ai, axis)
 
-        Am = f(jnp.asarray(cr), jnp.asarray(ci), jnp.asarray(pr),
-               jnp.asarray(pi), jnp.asarray(Vr), jnp.asarray(Vi))
-    out = np.asarray(jnp.real(Am)) + 1j * np.asarray(jnp.imag(Am))
-    return out.astype(np.complex128)
+        Ar, Ai = f(cr, ci, pr, pi, Vr, Vi)
+    return (np.asarray(Ar) + 1j * np.asarray(Ai)).astype(np.complex128)
 
 
 def beyn_batched(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0,
