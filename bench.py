@@ -81,10 +81,13 @@ def main():
         import jax.numpy as jnp
         panels = (jnp.asarray(panels[0]), jnp.asarray(panels[1]))
 
-    # warmup/compile
+    # warmup/compile (two rounds: first compiles, second warms dispatch)
     out = apply_split(*panels)
     jax.block_until_ready(out)
-    reps = 50
+    for _ in range(20):
+        out = apply_split(*panels)
+    jax.block_until_ready(out)
+    reps = 300
     t0 = time.perf_counter()
     for _ in range(reps):
         out = apply_split(*panels)

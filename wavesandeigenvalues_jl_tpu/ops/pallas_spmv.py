@@ -39,9 +39,17 @@ from .device import BsrOperator
 from ..utils.hostxfer import to_numpy
 
 
-def _bsr_spmm_kernel(cols_ref, br_re, br_im, x_re, x_im, y_re, y_im):
+def _bsr_spmm_kernel(precision, cols_ref, br_re, br_im, x_re, x_im, y_re,
+                     y_im):
     """grid program = one block row.  Shapes: br_* [1, maxb, bs, bs]
-    (pipeline-streamed), x_* [nb, bs, r] (VMEM-resident), y_* [1, bs, r]."""
+    (pipeline-streamed), x_* [nb, bs, r] (VMEM-resident), y_* [1, bs, r].
+
+    ``precision``: MXU f32 emulation — Precision.HIGHEST (default; ~1e-7
+    rel, 0.037 ms on the bench operator) or "bf16x3", a manual 3-pass
+    split-bf16 decomposition hi·hi + hi·lo + lo·hi.  Measured on v5e the
+    manual 3-pass is NOT faster (0.040 ms, ~8e-6 rel): the in-kernel
+    hi/lo extractions cost more VPU time than the saved MXU passes, so
+    HIGHEST stays the default."""
     import jax.experimental.pallas as pl
 
     row = pl.program_id(0)
@@ -49,8 +57,18 @@ def _bsr_spmm_kernel(cols_ref, br_re, br_im, x_re, x_im, y_re, y_im):
     bs = br_re.shape[3]
     r = x_re.shape[2]
 
-    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+    if precision == "bf16x3":
+        def dot(a, b):
+            ah = a.astype(jnp.bfloat16)
+            al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            bh = b.astype(jnp.bfloat16)
+            bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            d = lambda u, v: jnp.dot(u, v,
+                                     preferred_element_type=jnp.float32)
+            return d(ah, bh) + d(ah, bl) + d(al, bh)
+    else:
+        dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
+                                   precision=precision)
 
     def body(k, acc):
         acc_re, acc_im = acc
@@ -72,9 +90,9 @@ def _bsr_spmm_kernel(cols_ref, br_re, br_im, x_re, x_im, y_re, y_im):
     y_im[0] = acc_im
 
 
-@partial(jax.jit, static_argnums=(0, 6))
+@partial(jax.jit, static_argnums=(0, 6, 7))
 def _bsr_spmm_jit(shape_meta, cols, blocks_re, blocks_im, x_re, x_im,
-                  interpret=False):
+                  interpret=False, precision=None):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -95,8 +113,10 @@ def _bsr_spmm_jit(shape_meta, cols, blocks_re, blocks_im, x_re, x_im,
     )
     out_shape = (jax.ShapeDtypeStruct((nbr, bs, r), jnp.float32),
                  jax.ShapeDtypeStruct((nbr, bs, r), jnp.float32))
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     return pl.pallas_call(
-        _bsr_spmm_kernel,
+        partial(_bsr_spmm_kernel, precision),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -107,7 +127,7 @@ class PallasBsrSpmm:
     """Device-resident BSR SpMM: Y = A X, complex64 semantics, X width r."""
 
     def __init__(self, bsr: BsrOperator, nrhs: int = 128,
-                 interpret: bool = False):
+                 interpret: bool = False, precision=None):
         self.bs = bsr.bs
         self.n = bsr.n
         self.nrhs = nrhs
@@ -118,6 +138,7 @@ class PallasBsrSpmm:
         self.blocks_re = jnp.asarray(b.real)
         self.blocks_im = jnp.asarray(b.imag)
         self.interpret = interpret
+        self.precision = precision
         self.nnz_blocks = int(np.count_nonzero(bsr.block_mask))
         self.flops = 8.0 * self.nnz_blocks * bsr.bs ** 2 * nrhs
 
@@ -132,7 +153,8 @@ class PallasBsrSpmm:
         the i64 index arithmetic global x64 mode would insert."""
         with jax.enable_x64(False):
             return _bsr_spmm_jit(self.meta, self.cols, self.blocks_re,
-                                 self.blocks_im, x_re, x_im, self.interpret)
+                                 self.blocks_im, x_re, x_im, self.interpret,
+                                 self.precision)
 
     def split_panels(self, X):
         """Host complex [n_logical, r] -> device f32 panel planes."""
