@@ -181,6 +181,12 @@ def compute_potflow_field(mesh: Mesh, dscrp: Dict, order: str = "lin",
                          "(available: 'const', 'lin')")
     if output:
         print(f"Computing potential flow (order={order})...")
+    total = sum(dscrp.values())
+    scale = max(abs(v) for v in dscrp.values()) if dscrp else 1.0
+    if abs(total) > 1e-9 * scale:
+        print(f"Warning: volume fluxes do not balance (Σq = {total:g}); "
+              "the pure-Neumann problem is inconsistent and the solution "
+              "is a least-squares compromise.")
     pts = mesh.points
     tets = mesh.tetrahedra
     felement = "lin" if order == "const" else "herm"

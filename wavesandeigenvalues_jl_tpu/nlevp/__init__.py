@@ -16,6 +16,7 @@ from .pade import (Polynomial, RationalPolynomial, conv_radius, estimate_pol,
                    pade, poly_roots, polyval)
 from .perturbation import (multi_index_table, part2mult, partitions, perturb,
                            perturb_fast, perturb_norm)
+from .fitting import fit_state_space
 from .persist import load_family, read_solution, save_family, save_solution
 from .solvers import (beyn, compute_moment_matrices, count_poles_and_zeros,
                       decode_error_flag, gauss_nodes, generate_subspace,
