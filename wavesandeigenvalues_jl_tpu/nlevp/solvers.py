@@ -491,12 +491,12 @@ def compute_moment_matrices(L: OperatorFamily, Gamma, V=None, l=5, K=1,
     zs, ws = gauss_nodes(Gamma, N)
     A = np.zeros((d, l, 2 * K), dtype=CDTYPE)
     with phase("beyn.moments"):
-      for z, w in zip(zs, ws):
-        X = factorize(L(z), check=True).solve(V)
-        zp = w
-        for p in range(2 * K):
-            A[:, :, p] += zp * X
-            zp = zp * z
+        for z, w in zip(zs, ws):
+            X = factorize(L(z), check=True).solve(V)
+            zp = w
+            for p in range(2 * K):
+                A[:, :, p] += zp * X
+                zp = zp * z
     return A
 
 
