@@ -87,12 +87,16 @@ def main():
     for _ in range(20):
         out = apply_split(*panels)
     jax.block_until_ready(out)
+    # best of 3 timing rounds: the remote-tunnel dispatch jitter otherwise
+    # dominates run-to-run variance
     reps = 300
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = apply_split(*panels)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = apply_split(*panels)
+        jax.block_until_ready(out)
+        dt = min(dt, (time.perf_counter() - t0) / reps)
     device_nnz_per_s = nnz * NRHS / dt
 
     # --- reference-model baseline: single-core host CSR panel product
