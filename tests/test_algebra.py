@@ -119,3 +119,28 @@ def test_fancy_flame():
     d1 = (np.exp(a * (w + h) ** 2 - 1j * (w + h) * tau)
           - np.exp(a * (w - h) ** 2 - 1j * (w - h) * tau)) / (2 * h)
     assert abs(f.eval((w, tau, a), (1, 0, 0)) - d1) < 1e-6
+
+
+def test_raw_reference_functions():
+    """Raw reference-signature exports (algebra.jl): pow, exp_az,
+    z_exp_iaz/z_exp__iaz, exp_pm, generate_exp_az, sum_n_exp_az2mzit."""
+    from wavesandeigenvalues_jl_tpu.nlevp import (exp_az, exp_pm,
+                                                  generate_exp_az, pow,
+                                                  z_exp__iaz, z_exp_iaz)
+    assert np.isclose(pow(2.0, 1, 3), 12.0)          # d/dz z^3 at 2
+    assert np.isclose(pow(2.0, 0, 0.5), np.sqrt(2))
+    assert np.isclose(exp_az(1.0, 3.0, 2), 9 * np.exp(3.0))
+    g = generate_exp_az(2.0 + 1.0j)
+    assert np.isclose(g.eval((0.5,), (1,)), (2 + 1j) * np.exp((2 + 1j) * 0.5))
+    # z·exp(±iaz) values and first derivatives
+    z, a = 1.3, 0.7
+    assert np.isclose(z_exp_iaz(z, a), z * np.exp(1j * a * z))
+    assert np.isclose(z_exp_iaz(z, a, 1, 0),
+                      (1j * a * z + 1) * np.exp(1j * a * z))
+    assert np.isclose(z_exp__iaz(z, a, 0, 1), -1j * z ** 2 * np.exp(-1j * a * z))
+    # exp_pm(s) equals exp_delay with flipped sign convention
+    f = exp_pm(-1)
+    assert np.isclose(f.eval((z, a), (0, 0)), np.exp(-1j * z * a))
+    h = 1e-6
+    fd = (f.eval((z, a + h), (0, 0)) - f.eval((z, a - h), (0, 0))) / (2 * h)
+    assert np.isclose(f.eval((z, a), (0, 1)), fd, atol=1e-6)
