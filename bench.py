@@ -125,12 +125,14 @@ def main():
         mesh = read_mesh(ref_msh, scale=1e-3)
         gamma, R, Tu, Tb, P0, rho = 1.4, 287.05, 300.0, 1200.0, 101325.0, 1.225
         Q02U0 = P0 * (Tb / Tu - 1) * np.pi * 0.025 ** 2 * gamma / (gamma - 1)
-        cref = np.where(mesh.points[2] < 0, np.sqrt(gamma * R * Tu),
-                        np.sqrt(gamma * R * Tb))
+        # per-tet centroid field = the tutorial's generate_field default
+        cref = mesh.generate_field(
+            lambda x, y, z: np.where(z < 0, np.sqrt(gamma * R * Tu),
+                                     np.sqrt(gamma * R * Tb)), order="const")
         Lr = discretize(mesh, {
             "Interior": ("interior", ()),
             "Outlet": ("admittance", ("Y", 1e15)),
-            "Flame": ("flame", (gamma, rho, Q02U0, [0.0, 0.0, -0.0012],
+            "Flame": ("flame", (gamma, rho, Q02U0, [0.0, 0.0, -0.00101],
                                 [0.0, 0.0, 1.0], "n", "τ", 1.0, 1e-3)),
         }, cref)
         t0 = time.perf_counter()

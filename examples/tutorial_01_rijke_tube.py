@@ -31,15 +31,16 @@ print(mesh)
 
 # ── physics: cold (300 K) upstream / hot (1200 K) downstream of the flame
 gamma, R, Tu, Tb, P0, rho = 1.4, 287.05, 300.0, 1200.0, 101325.0, 1.225
-c = np.where(mesh.points[2] < 0, np.sqrt(gamma * R * Tu),
-             np.sqrt(gamma * R * Tb))
+# per-tet centroid sampling — the reference tutorial's generate_field default
+c = mesh.generate_field(lambda x, y, z: np.where(
+    z < 0, np.sqrt(gamma * R * Tu), np.sqrt(gamma * R * Tb)), order="const")
 Q02U0 = P0 * (Tb / Tu - 1) * np.pi * 0.025 ** 2 * gamma / (gamma - 1)
 
 dscrp = {
     "Interior": ("interior", ()),                 # wave operator M + K
     "Outlet": ("admittance", ("Y", 1e15)),        # open end: p ≈ 0
     "Flame": ("flame", (gamma, rho, Q02U0,        # n-τ flame, rank-one Q
-                        [0.0, 0.0, -0.0012],      # reference point x_ref
+                        [0.0, 0.0, -0.00101],     # reference point x_ref
                         [0.0, 0.0, 1.0],          # reference direction
                         "n", "τ", 0.0, 1e-3)),    # start passive: n = 0
 }
@@ -58,6 +59,9 @@ om = sol.params["ω"]
 print(f"\nactive eigenvalue ω = {om:.6f} rad/s "
       f"(f = {om.real/2/np.pi:.2f} Hz, growth rate {om.imag/2/np.pi:.2f} Hz)")
 assert om.imag > 0, "flame should destabilize the mode"
+if os.path.exists(REF_MSH):
+    # committed output of the reference's tutorial_04 (…theory.md:81)
+    assert abs(om - (1075.325211506839 + 372.1017670372039j)) < 1e-7
 
 # ── export the mode shape (length == n_points → written as point data)
 files = vtk_write("rijke_mode", mesh, {"abs(p)": np.abs(sol.v),

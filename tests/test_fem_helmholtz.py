@@ -41,8 +41,10 @@ def rijke_dscrp(n=0.0, tau=1e-3):
 
 
 def c_field(mesh):
+    # per-tet centroid sampling = the reference tutorial's generate_field
+    # default (Meshutils.jl:1079-1085); reproduces REF_ACTIVE to ~1e-11
     return mesh.generate_field(
-        lambda x, y, z: np.where(z < 0, CU, CB))
+        lambda x, y, z: np.where(z < 0, CU, CB), order="const")
 
 
 @pytest.fixture(scope="module")
@@ -205,23 +207,21 @@ def test_rijke_beyn_passive(ref_family):
     Om, P = beyn(L, Gamma, l=10, N=64, rtol=1e-12)
     f = np.sort(Om.real) / 2 / np.pi
     assert len(f) == 2
-    assert abs(f[0] - 272.48) < 0.05
-    assert abs(f[1] - 694.97) < 0.05
+    assert abs(f[0] - 272.064) < 0.05
+    assert abs(f[1] - 694.968) < 0.05
     assert np.max(np.abs(Om.imag)) < 1e-6
 
 
 def test_rijke_active_eigenvalue(ref_family):
-    """Active flame (n=1, τ=1ms): ω ≈ 1075.33 + 372.10i rad/s (growth rate
-    ≈ 59.2 Hz), committed output of tutorial_04.  The committed digits are
-    not exactly re-derivable from the committed code+mesh (the flame
-    reference-gradient choice scatters neighboring-tet results by ±2 rad/s
-    around the committed value); assert 0.15%-relative agreement."""
+    """Active flame (n=1, τ=1ms): ω = 1075.325211506839 + 372.1017670372039i
+    rad/s (growth rate ≈ 59.2 Hz), the committed output of tutorial_04 —
+    reproduced to ~1e-11 rad/s.  (Requires the per-tet centroid c field,
+    the tutorial's generate_field(order=:const) default.)"""
     L = ref_family
     L.params["n"] = 1.0
     sol, n, flag = mslp(L, 340 * 2 * np.pi, maxiter=20, tol=1e-11)
     om = sol.params["ω"]
-    assert abs(om - REF_ACTIVE) < 2.0
-    assert abs(om - REF_ACTIVE) / abs(REF_ACTIVE) < 1.5e-3
+    assert abs(om - REF_ACTIVE) < 1e-7
     growth = om.imag / 2 / np.pi
     assert abs(growth - 59.22) < 0.5
     assert flag in (0, 2)
@@ -229,26 +229,29 @@ def test_rijke_active_eigenvalue(ref_family):
 
 
 def test_rijke_taylor_pade_tutorial04(ref_family):
-    """Tutorial-04 behavior on our operator: order-20 τ-Taylor matches the
-    re-solved eigenvalue at τ+5e-4 to ~1e-3 relative; the convergence
-    radius is ≈7e-4; the [10/10] Padé is accurate far outside the Taylor
-    radius where the Taylor sum has diverged."""
+    """Tutorial-04 committed numbers, reproduced to ~1e-10 rad/s: order-20
+    τ-Taylor at τ+5e-4 = 916.7085040155473+494.3258317478708i rad/s, exact
+    re-solve 916.7036137579256+494.32932528479967i; the estimated
+    convergence radius is ≈7e-4 and the [10/10] Padé stays accurate
+    outside it where the Taylor sum has diverged."""
     L = ref_family
     L.params["n"] = 1.0
     L.params["τ"] = 1e-3
     sol, _, flag = mslp(L, 340 * 2 * np.pi, maxiter=20, tol=1e-11)
     om0 = sol.params["ω"]
+    assert abs(om0 - REF_ACTIVE) < 1e-7
     perturb_fast(sol, L, "τ", 20)
     coeffs = sol.eigval_pert["τ/Taylor"]
     r = conv_radius(coeffs)[-1]
-    assert 3e-4 < r < 1.2e-3  # reference: 7.03e-4
+    assert 3e-4 < r < 1.2e-3  # reference estimator: 7.03e-4
 
     dtau = 5e-4
     est = polyval(coeffs, dtau)
+    assert abs(est - (916.7085040155473 + 494.3258317478708j)) < 1e-7
     L.params["τ"] = 1e-3 + dtau
     sol2, _, _ = mslp(L, est, maxiter=20, tol=1e-11)
     exact = sol2.params["ω"]
-    # reference: 916.709+494.326i vs exact 916.704+494.329i (≈5e-6 rel)
+    assert abs(exact - (916.7036137579256 + 494.32932528479967j)) < 1e-7
     assert abs(est - exact) / abs(exact) < 1e-4
 
     dtau = 2 * r

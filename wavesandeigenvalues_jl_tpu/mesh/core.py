@@ -317,14 +317,21 @@ class Mesh:
             raise ValueError(f"point {x} not inside any tetrahedron")
         return int(hits[0])
 
-    def generate_field(self, fn: Callable) -> np.ndarray:
-        """Sample scalar field fn(x,y,z) at every mesh point
-        (generate_field, Meshutils.jl:1079-1097)."""
-        x, y, z = self.points
+    def generate_field(self, fn: Callable, order: str = "lin") -> np.ndarray:
+        """Sample scalar field fn(x,y,z) per mesh point (``order="lin"``) or
+        per tetrahedron at the centroid (``order="const"``, the reference's
+        default) (generate_field, Meshutils.jl:1079-1097)."""
+        if order == "const":
+            pts = self.points[:, self.tetrahedra].mean(axis=2)
+        elif order == "lin":
+            pts = self.points
+        else:
+            raise ValueError(f"field order {order!r} not supported")
+        x, y, z = pts
         try:
             return np.asarray(fn(x, y, z), dtype=np.float64)
         except Exception:
-            return np.array([fn(*p) for p in self.points.T], dtype=np.float64)
+            return np.array([fn(*p) for p in pts.T], dtype=np.float64)
 
     def get_surface_points(self, domains=None):
         """Unique point indices on the surface (optionally restricted to
