@@ -105,13 +105,43 @@ def test_ntnu_unit_cell():
     dscrp = {"Interior": ("interior", ()),
              "Outlet_high": ("admittance", ("Y_in", 0.0)),
              "Outlet_low": ("admittance", ("Y_out", 0.0))}
-    l = discretize(unit, dscrp, unit.generate_field(sos), b="b")
+    # per-tet centroid c field = the tutorial's generate_field default
+    l = discretize(unit, dscrp, unit.generate_field(sos, order="const"),
+                   b="b")
     l.params["b"] = 1.0
-    sol, n, flag = mslp(l, 1124.0, tol=1e-9, scale=2 * np.pi, maxiter=20)
+    sol, n, flag = mslp(l, 1124.0, tol=1e-10, scale=2 * np.pi, maxiter=20)
     f = sol.params["ω"].real / 2 / np.pi
-    # plenum-dominant first-order mode: literature ≈1124 Hz; P1 on this
-    # mesh gives ≈1135 Hz (≈1% discretization)
-    assert abs(f - 1124.0) < 30.0
+    # plenum-dominant first-order mode: 1123.61 Hz on this P1 mesh
+    # (Indlekofer et al. literature value ≈1124 Hz, tutorial_07…md:84-90)
+    assert abs(f - 1123.61) < 0.05
     A = l(sol.params["ω"]).to_dense()
     assert (np.linalg.norm(A @ sol.v) / np.linalg.norm(sol.v)
             / np.linalg.norm(A, "fro")) < 1e-12
+
+
+@pytest.mark.skipif(not os.path.exists(NTNU), reason="reference mesh absent")
+def test_ntnu_unit_equals_full_annulus():
+    """Bloch headline check (tutorial_07…md:138-139): the b=1 unit-cell
+    eigenfrequency equals the full-annulus (12-sector, 23k-point)
+    eigenfrequency — here to ~1e-12 Hz."""
+    mesh = read_mesh(NTNU, scale=1.0)
+    doms = [("Interior", "full"), ("Inlet", "full"), ("Outlet_high", "full"),
+            ("Outlet_low", "full"), ("Flame", "unit")]
+    unit = extend_mesh(mesh, doms, unit=True)
+    full = extend_mesh(mesh, doms, unit=False)
+    sos = lambda x, y, z: np.where(z < 0.415, 347.0, 850.0)
+    dscrp = {"Interior": ("interior", ()),
+             "Outlet_high": ("admittance", ("Y_in", 0.0)),
+             "Outlet_low": ("admittance", ("Y_out", 0.0))}
+    l = discretize(unit, dscrp, unit.generate_field(sos, order="const"),
+                   b="b")
+    l.params["b"] = 1.0
+    sol_u, _, flag_u = mslp(l, 1124.0, tol=1e-10, scale=2 * np.pi, maxiter=20)
+    f_u = sol_u.params["ω"] / 2 / np.pi
+    Lf = discretize(full, dscrp, full.generate_field(sos, order="const"))
+    sol_f, _, flag_f = mslp(Lf, f_u.real, tol=1e-10, scale=2 * np.pi,
+                            maxiter=20)
+    f_f = sol_f.params["ω"] / 2 / np.pi
+    assert flag_u == 0 and flag_f == 0
+    assert abs(f_u - f_f) < 1e-8
+    assert abs(f_u.real - 1123.61) < 0.05
