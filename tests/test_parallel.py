@@ -108,3 +108,26 @@ def test_beyn_batched_sharded():
                          dtype=np.complex128)
     for target in (1 / 3, 0.5, 1.0, 1j, -1j):
         assert np.min(np.abs(Om - target)) < 1e-8, target
+
+
+def test_beyn_sharded_fem_partition_invariance():
+    """Partition invariance on a real FEM operator (SURVEY §4): the
+    shift-sharded distributed Beyn over the 8-device mesh finds the same
+    passive Rijke eigenfrequencies as the serial host solver."""
+    from wavesandeigenvalues_jl_tpu.mesh.generate import rijke_mesh
+    from wavesandeigenvalues_jl_tpu.models import discretize
+
+    m = rijke_mesh(n_rings=2, nz_cold=10, nz_hot=10)
+    c = m.generate_field(lambda x, y, z: np.where(z < 0, 347.2, 694.4),
+                         order="const")
+    L = discretize(m, {"Interior": ("interior", ()),
+                       "Outlet": ("admittance", ("Y", 1e15))}, c)
+    Gamma = np.array([150 + 5j, 150 - 5j, 1000 - 5j, 1000 + 5j]) * 2 * np.pi
+    Om_host, _ = beyn(L, Gamma, l=8, N=32, rtol=1e-12)
+    mesh = Mesh(np.array(jax.devices()), ("shift",))
+    Om_dist, _ = beyn_batched(L, Gamma, l=8, N=32, rtol=1e-12, mesh=mesh,
+                              dtype=np.complex128)
+    f_host = np.sort(Om_host.real) / 2 / np.pi
+    f_dist = np.sort(Om_dist.real) / 2 / np.pi
+    assert len(f_host) == len(f_dist)
+    assert np.allclose(f_host, f_dist, atol=1e-6)

@@ -121,15 +121,16 @@ def batched_moments(L: OperatorFamily, Gamma, V=None, l=5, K=1, N=16,
 
 
 def beyn_batched(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0,
-                 pos_test_flag=True, mesh: Optional[Mesh] = None,
+                 rtol=0.0, pos_test_flag=True, mesh: Optional[Mesh] = None,
                  axis: str = "shift", dtype=None):
     """Beyn's algorithm with device-batched (and optionally chip-sharded)
-    quadrature (drop-in for nlevp.solvers.beyn)."""
+    quadrature (drop-in for nlevp.solvers.beyn; ``tol``/``rtol`` are the
+    absolute/relative singular-value cutoffs of the Hankel SVD filter)."""
     d = L.size
     K = max(K, (l + d - 1) // d)
     A = batched_moments(L, Gamma, l=l, K=K, N=N, mesh=mesh, axis=axis,
                         dtype=dtype)
-    Om, Pv = moments2eigs([A])
+    Om, Pv = moments2eigs([A], tol_sigma=tol, rtol_sigma=rtol)
     if pos_test_flag:
         Om, Pv = pos_test(Om, Pv, Gamma)
     return Om, Pv
