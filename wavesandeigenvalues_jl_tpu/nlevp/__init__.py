@@ -18,11 +18,14 @@ from .perturbation import (multi_index_table, part2mult, partitions, perturb,
                            perturb_fast, perturb_norm)
 from .fitting import fit_state_space
 from .persist import load_family, read_solution, save_family, save_solution
+from .toml_compat import (load_family_toml, load_solution_toml, read_toml,
+                          save_family_toml, save_solution_toml)
 from .solvers import (beyn, compute_moment_matrices, count_poles_and_zeros,
                       decode_error_flag, gauss_nodes, generate_subspace,
-                      householder, householder_update, initialize_V, inpoly,
-                      inveriter, lancaster, moments2eigs, mslp, nicoud,
-                      padesolve, picard, pos_test, rf2s, solve, traceiter, wn)
+                      guettel, householder, householder_update, initialize_V,
+                      inpoly, inveriter, juniper, lancaster, mehrmann,
+                      moments2eigs, mslp, nicoud, padesolve, picard, pos_test,
+                      rf2s, solve, traceiter, wn)
 from . import gallery
 
 # reference-compatible aliases

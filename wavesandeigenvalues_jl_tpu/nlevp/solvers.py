@@ -304,6 +304,53 @@ def lancaster(L: OperatorFamily, z, maxiter=10, tol=0.0, relax=1.0, x0=None,
     return Solution(L.params, np.zeros(d, dtype=CDTYPE), None, L.eigval), n, flag
 
 
+def mehrmann(L: OperatorFamily, z, maxiter=10, tol=0.0, relax=1.0, x0=None,
+             v=None, output=False):
+    """Mehrmann–Voss nonlinear inverse iteration with a left eigenvector at
+    convergence.
+
+    The reference ships this solver in mehrmann.jl:1-72 but never includes
+    the file (NLEVP.jl:17 comments the include out), leaving its hybrid
+    ``solve`` with a dangling call; the iteration body is identical to
+    ``inveriter`` (iterative_solvers.jl:285-347).  This is a *working*
+    implementation: the same Newton inverse iteration, plus the adjoint
+    eigenvector (one shift-invert solve on L(z)ᴴ, the step that is only a
+    comment in mehrmann.jl:57-60) so the result can seed the moment
+    corrections in :func:`solve`."""
+    sol, n, flag = inveriter(L, z, maxiter=maxiter, tol=tol, relax=relax,
+                             x0=x0, v=v, output=output)
+    if flag >= 0 and sol.v is not None:
+        z = sol.params[sol.eigval]
+        try:
+            F = factorize(L(z, 0), check=True)
+            y = np.asarray(sol.v, CDTYPE).conj()
+            for _ in range(2):
+                y = F.solve(y, trans="H")
+                y = y / np.linalg.norm(y)
+            sol.v_adj = y
+        except (SingularMatrixError, np.linalg.LinAlgError):
+            pass  # singular at an exact eigenvalue: keep right vector only
+    return sol, n, flag
+
+
+def juniper(L: OperatorFamily, z, maxiter=10, tol=0.0, relax=1.0,
+            output=False):
+    """Newton on det L via the trace formula — the reference's dead
+    ``juniper`` variant (mehrmann.jl:136-187, excluded at NLEVP.jl:17) is
+    algorithmically :func:`traceiter`; provided as a working alias."""
+    return traceiter(L, z, maxiter=maxiter, tol=tol, relax=relax,
+                     output=output)
+
+
+def guettel(L: OperatorFamily, z, maxiter=10, tol=0.0, relax=1.0, x0=None,
+            y0=None, output=False):
+    """Two-sided Rayleigh-functional iteration — the reference's dead
+    ``guettel`` variant (mehrmann.jl:192-258, excluded at NLEVP.jl:17) is
+    algorithmically :func:`rf2s`; provided as a working alias."""
+    return rf2s(L, z, maxiter=maxiter, tol=tol, relax=relax, x0=x0, y0=y0,
+                output=output)
+
+
 def traceiter(L: OperatorFamily, z, maxiter=10, tol=0.0, relax=1.0,
               output=False):
     """Newton on det L(z) via Jacobi's trace formula
@@ -761,6 +808,7 @@ __all__ = [
     "picard", "beyn", "gauss_nodes", "initialize_V",
     "compute_moment_matrices", "moments2eigs", "wn", "inpoly", "pos_test",
     "count_poles_and_zeros", "generate_subspace", "solve",
+    "mehrmann", "juniper", "guettel",
     "ITSOL_CONVERGED", "ITSOL_MAXITER", "ITSOL_SLOW_CONVERGENCE",
     "ITSOL_IMPOSSIBLE", "ITSOL_SINGULAR_EXCEPTION", "ITSOL_EIGS_EXCEPTION",
     "ITSOL_ISNAN", "ITSOL_UNKNOWN",
