@@ -115,6 +115,35 @@ def test_vtk_write_binary(tmp_path):
     ET.parse(files[0])  # well-formed XML
 
 
+def test_vtk_write_compressed_roundtrip(tmp_path):
+    """zlib block compression (implements the reference's stub,
+    vtk_write.jl:410): decode the block table + payload back to the field."""
+    import base64
+    import struct
+    import zlib
+
+    m = box_mesh(nx=1, ny=1, nz=1)
+    field = np.arange(m.n_points, dtype=float) * np.pi
+    base = str(tmp_path / "comp")
+    files = vtk_write(base, m, {"a": field}, fmt="compressed")
+    root = ET.parse(files[0]).getroot()
+    assert root.get("compressor") == "vtkZLibDataCompressor"
+    da = [e for e in root.iter("DataArray") if e.get("Name") == "a"][0]
+    assert da.get("format") == "binary"
+    b64 = da.text.strip()
+    # UInt32 block table [nblocks, blocksize, lastblock, compsize] is
+    # base64-encoded separately from the payload
+    header = struct.unpack("<4I", base64.b64decode(b64[:24])[:16])
+    nblocks, blocksize, lastblock, compsize = header
+    assert nblocks == 1 and blocksize == lastblock == field.nbytes
+    comp = base64.b64decode(b64[24:])
+    assert len(comp) == compsize
+    payload = zlib.decompress(comp)
+    assert len(payload) == field.nbytes
+    out = np.frombuffer(payload, dtype=np.float64)
+    assert np.array_equal(out, field)
+
+
 def test_vtk_bad_length(tmp_path):
     m = box_mesh(nx=1, ny=1, nz=1)
     with pytest.raises(ValueError):

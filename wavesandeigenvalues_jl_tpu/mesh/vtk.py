@@ -11,8 +11,9 @@ split by array length into up to four files
 - ``<name>_tri.vtu``   — per-surface-triangle cell data (len == #triangles)
 
 Complex fields are written as two arrays ``<key>.real`` / ``<key>.imag``
-(ParaView has no native complex type).  Encodings: ``ascii`` (default) or
-inline base64 ``binary`` (vtk_write.jl:332-409).
+(ParaView has no native complex type).  Encodings: ``ascii`` (default),
+inline base64 ``binary`` (vtk_write.jl:332-409) or ``compressed`` — zlib
+block compression, which the reference stubs out (vtk_write.jl:410).
 """
 from __future__ import annotations
 
@@ -43,12 +44,23 @@ def _da(name, arr, fmt: str) -> str:
         vtype = "Float64"
         arr = arr.astype(np.float64)
     head = (f'<DataArray type="{vtype}" Name="{name}" '
-            f'NumberOfComponents="{ncomp}" format="{fmt}">')
+            f'NumberOfComponents="{ncomp}" '
+            f'format="{"ascii" if fmt == "ascii" else "binary"}">')
     if fmt == "ascii":
         body = " ".join(repr(x) for x in arr.ravel().tolist())
-    else:  # inline base64: uint32 byte-count header + payload
+    elif fmt == "binary":  # inline base64: uint32 byte-count header + payload
         raw = arr.tobytes()
         body = base64.b64encode(struct.pack("<I", len(raw)) + raw).decode()
+    else:  # zlib block compression — implements the stub at vtk_write.jl:410
+        # VTK inline-compressed layout: the UInt32 block table
+        # [#blocks, blocksize, last-blocksize, compressed-size...] and the
+        # zlib payload are base64-encoded SEPARATELY, then concatenated.
+        import zlib
+        raw = arr.tobytes()
+        comp = zlib.compress(raw, 6)
+        header = struct.pack("<4I", 1, len(raw), len(raw), len(comp))
+        body = (base64.b64encode(header).decode()
+                + base64.b64encode(comp).decode())
     return head + "\n" + body + "\n</DataArray>"
 
 
@@ -67,9 +79,11 @@ def _split_complex(data: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 def _write_vtu(path, points, cells, cell_type, point_data, cell_data, fmt):
     n_pts = points.shape[1]
     n_cells = len(cells)
+    compressor = (' compressor="vtkZLibDataCompressor"'
+                  if fmt == "compressed" else "")
     parts = ['<?xml version="1.0"?>',
              '<VTKFile type="UnstructuredGrid" version="0.1" '
-             'byte_order="LittleEndian">',
+             f'byte_order="LittleEndian"{compressor}>',
              "<UnstructuredGrid>",
              f'<Piece NumberOfPoints="{n_pts}" NumberOfCells="{n_cells}">',
              "<Points>", _da("Points", points.T.reshape(-1, 3), fmt),
@@ -98,8 +112,8 @@ def vtk_write(filename: str, mesh: Mesh, data: Dict[str, np.ndarray],
               fmt: str = "ascii"):
     """Write mesh + fields to VTU file(s); dispatch per data length
     (vtk_write.jl:272-304).  Returns the list of files written."""
-    if fmt not in ("ascii", "binary"):
-        raise ValueError("fmt must be 'ascii' or 'binary'")
+    if fmt not in ("ascii", "binary", "compressed"):
+        raise ValueError("fmt must be 'ascii', 'binary' or 'compressed'")
     data = _split_complex(data)
     n_pts = mesh.n_points
     n_tet = len(mesh.tetrahedra)
