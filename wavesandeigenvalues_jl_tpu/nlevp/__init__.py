@@ -13,7 +13,8 @@ from .algebra import (ExpAz, ExpDelay, ExpPM, OneMinus, Pow, Product,
                       tau_delay, z_exp__iaz, z_exp_iaz)
 from .family import AUX_OPERATOR, OperatorFamily, Solution, Term, project
 from .pade import (Polynomial, RationalPolynomial, conv_radius, estimate_pol,
-                   pade, poly_roots, polyval)
+                   multipoint_pade, newton_polynomial, pade, poly_roots,
+                   polyval)
 from .perturbation import (multi_index_table, part2mult, partitions, perturb,
                            perturb_fast, perturb_norm)
 from .fitting import fit_state_space

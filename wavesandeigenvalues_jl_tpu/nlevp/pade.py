@@ -176,6 +176,148 @@ class RationalPolynomial:
         return self.num.roots()
 
 
+# ---------------------------------------------------------------------------
+# multipoint (rational Hermite) Padé
+#
+# The reference sketches this in examples/Pade/pade.jl: a confluent Newton
+# divided-difference table (compute_newton_polynomial, pade.jl:400-476) and
+# an EMPTY ``multi_point_pade`` stub (pade.jl:501-509).  Here both are
+# complete: the confluent Hermite interpolant and a general [L/M] rational
+# interpolant matching Taylor data at several expansion points.
+
+
+def newton_polynomial(points):
+    """Monomial coefficients of the confluent Newton (Hermite) interpolant.
+
+    ``points`` is a sequence of ``(z_i, taylor_coeffs_i)`` pairs; each entry
+    contributes ``len(taylor_coeffs_i)`` confluent interpolation conditions
+    f^(s)(z_i)/s! = taylor_coeffs_i[s].  Degree = total conditions − 1.
+    (compute_newton_polynomial, examples/Pade/pade.jl:400-476 — divided
+    differences with Taylor coefficients at repeated nodes.)"""
+    nodes: list = []       # node value per confluent slot
+    table: dict = {}       # slot-range tuple -> divided difference
+    slots: list = []       # point index per slot
+    zs = [complex(z) for z, _ in points]
+    for i, (_z, cf) in enumerate(points):
+        cf = np.asarray(cf, dtype=CDTYPE)
+        start = len(slots)
+        k = len(cf)
+        slots.extend([i] * k)
+        # every sub-range of the repeated node carries the Taylor datum
+        # f[z,..,z] (s+1 copies) = f^(s)(z)/s! = cf[s]
+        for j in range(k):
+            for s in range(k - j):
+                table[(start + j, start + j + s + 1)] = cf[s]
+        nodes.extend([zs[i]] * k)
+    n = len(slots)
+    for width in range(2, n + 1):
+        for j in range(n - width + 1):
+            key = (j, j + width)
+            if key in table:
+                continue
+            za, zb = nodes[j], nodes[j + width - 1]
+            table[key] = (table[(j + 1, j + width)]
+                          - table[(j, j + width - 1)]) / (zb - za)
+    # expand Newton form into monomial coefficients
+    coeffs = np.zeros(n, dtype=CDTYPE)
+    basis = np.zeros(n, dtype=CDTYPE)
+    basis[0] = 1.0
+    deg = 0
+    for k in range(n):
+        coeffs[:deg + 1] += table[(0, k + 1)] * basis[:deg + 1]
+        if k < n - 1:
+            # basis *= (z - nodes[k])
+            nb = np.zeros(n, dtype=CDTYPE)
+            nb[1:deg + 2] = basis[:deg + 1]
+            nb[:deg + 1] -= nodes[k] * basis[:deg + 1]
+            basis, deg = nb, deg + 1
+    return coeffs
+
+
+class MultipointPade:
+    """Rational Hermite interpolant P(ζ)/Q(ζ) in the centered/scaled
+    variable ζ = (z − z0)/scale.  Callable in the original variable; poles
+    and zeros are mapped back to it."""
+
+    def __init__(self, a, b, z0: complex, scale: float):
+        self.a = np.asarray(a, dtype=CDTYPE)
+        self.b = np.asarray(b, dtype=CDTYPE)
+        self.z0 = complex(z0)
+        self.scale = float(scale)
+
+    def __call__(self, z):
+        zeta = (np.asarray(z) - self.z0) / self.scale
+        return polyval(self.a, zeta) / polyval(self.b, zeta)
+
+    def poles(self):
+        return self.z0 + self.scale * poly_roots(self.b)
+
+    def zeros(self):
+        return self.z0 + self.scale * poly_roots(self.a)
+
+
+def multipoint_pade(L: int, M: int, points, z0=None, scale=None):
+    """[L/M] rational Hermite interpolation ("multipoint Padé") matching
+    given Taylor data at several expansion points in the confluent sense —
+    the completed version of the reference's stub (multi_point_pade,
+    examples/Pade/pade.jl:501-509, whose ``Z0`` kwarg is the same centering
+    knob).
+
+    ``points``: sequence of ``(z_i, taylor_coeffs_i)``; the total number of
+    Taylor coefficients must equal L+M+1.  Conditions are linearized:
+    d^r/dz^r [P − f·Q](z_i) = 0 for r < len(taylor_coeffs_i).  The system
+    is assembled in the centered/scaled variable ζ = (z − z0)/scale (by
+    default z0 = centroid of the expansion points, scale = their spread) —
+    essential for conditioning when the physical parameter lives at small
+    scales (e.g. flame delays τ ~ 1e-3 s).  Returns a callable
+    :class:`MultipointPade`."""
+    import math
+
+    n_cond = sum(len(cf) for _z, cf in points)
+    if n_cond != L + M + 1:
+        raise ValueError(f"need L+M+1 = {L + M + 1} Taylor coefficients "
+                         f"across all points, got {n_cond}")
+    zsp = [complex(z) for z, _ in points]
+    if z0 is None:
+        z0 = sum(zsp) / len(zsp)
+    if scale is None:
+        scale = max((abs(z - z0) for z in zsp), default=1.0) or 1.0
+
+    def dmono(k, r, z):
+        """d^r/dζ^r ζ^k."""
+        if r > k:
+            return 0.0 + 0.0j
+        return (math.factorial(k) // math.factorial(k - r)) * z ** (k - r)
+
+    A = np.zeros((n_cond, L + M + 1), dtype=CDTYPE)
+    y = np.zeros(n_cond, dtype=CDTYPE)
+    row = 0
+    for z, cf in points:
+        zeta = (complex(z) - z0) / scale
+        cf = np.asarray(cf, dtype=CDTYPE)
+        # ζ-derivatives: dᵏf/dζᵏ = scaleᵏ·dᵏf/dzᵏ, and Taylor coeffs carry
+        # the 1/k! already
+        fder = [math.factorial(s) * cf[s] * scale ** s
+                for s in range(len(cf))]
+        for r in range(len(cf)):
+            for l in range(L + 1):
+                A[row, l] = dmono(l, r, zeta)
+            for m in range(1, M + 1):
+                acc = 0.0 + 0.0j
+                for s in range(r + 1):
+                    acc += math.comb(r, s) * fder[s] * dmono(m, r - s, zeta)
+                A[row, L + m] = -acc
+            # b_0 = 1 contribution moves to the RHS
+            y[row] = sum(math.comb(r, s) * fder[s] * dmono(0, r - s, zeta)
+                         for s in range(r + 1))
+            row += 1
+    x = np.linalg.lstsq(A, y, rcond=None)[0]
+    a = x[:L + 1]
+    b = np.concatenate([[1.0 + 0.0j], x[L + 1:]])
+    return MultipointPade(a, b, z0, scale)
+
+
 __all__ = ["pade", "pade_vector", "polyval", "polyval_vec", "poly_roots",
            "estimate_pol", "conv_radius", "taylor_shift", "Polynomial",
+           "newton_polynomial", "multipoint_pade", "MultipointPade",
            "RationalPolynomial"]
