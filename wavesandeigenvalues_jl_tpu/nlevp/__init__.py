@@ -17,6 +17,7 @@ from .pade import (Polynomial, RationalPolynomial, conv_radius, estimate_pol,
                    polyval)
 from .perturbation import (multi_index_table, part2mult, partitions, perturb,
                            perturb_fast, perturb_norm)
+from .continuation import track_branch
 from .fitting import fit_state_space
 from .persist import load_family, read_solution, save_family, save_solution
 from .toml_compat import (load_family_toml, load_solution_toml, read_toml,

@@ -524,12 +524,25 @@ def initialize_V(d: int, l: int, random: bool = False, seed: int = 0):
 
 
 def compute_moment_matrices(L: OperatorFamily, Gamma, V=None, l=5, K=1,
-                            N=16, output=False, random=False):
+                            N=16, output=False, random=False,
+                            checkpoint: Optional[str] = None,
+                            checkpoint_every: int = 8):
     """Moment matrices A_p = ∮_Γ z^p L(z)^{-1} V dz, p = 0..2K-1
     (compute_moment_matrices, beyn.jl:233-268).
 
     The quadrature nodes are independent shifted multi-RHS solves — the
-    prime batching axis (each node = one dense LU + l triangular solves)."""
+    prime batching axis (each node = one dense LU + l triangular solves).
+
+    ``checkpoint``: optional path; the partial moment sums are persisted
+    there every ``checkpoint_every`` nodes (atomic npz) and an interrupted
+    contour integration resumes from the last saved node.  The reference
+    has no restart story for long runs (SURVEY §5); on a big contour every
+    node is a full sparse factorization, so losing hours to a preemption
+    is otherwise real.  A checkpoint written for a different contour,
+    probe block or K is detected by digest and ignored."""
+    import hashlib
+    import os
+
     from ..utils.timing import phase
     d = L.size
     if V is None:
@@ -537,13 +550,40 @@ def compute_moment_matrices(L: OperatorFamily, Gamma, V=None, l=5, K=1,
     d, l = V.shape
     zs, ws = gauss_nodes(Gamma, N)
     A = np.zeros((d, l, 2 * K), dtype=CDTYPE)
+    start = 0
+    digest = ""
+    if checkpoint:
+        h = hashlib.sha256()
+        for part in (zs.tobytes(), ws.tobytes(), np.asarray(V).tobytes(),
+                     str(K).encode()):
+            h.update(part)
+        digest = h.hexdigest()
+        if os.path.exists(checkpoint):
+            with np.load(checkpoint, allow_pickle=False) as ck:
+                if str(ck["digest"]) == digest:
+                    A = ck["A"]
+                    start = int(ck["next"])
+                    if output:
+                        print(f"resuming moments at node {start}/{len(zs)}")
+                elif output:
+                    print("checkpoint digest mismatch — recomputing")
+
+    def _save(next_idx: int):
+        tmp = checkpoint + ".tmp.npz"
+        np.savez(tmp, A=A, next=next_idx, digest=digest)
+        os.replace(tmp, checkpoint)
+
     with phase("beyn.moments"):
-        for z, w in zip(zs, ws):
+        for idx in range(start, len(zs)):
+            z, w = zs[idx], ws[idx]
             X = factorize(L(z), check=True).solve(V)
             zp = w
             for p in range(2 * K):
                 A[:, :, p] += zp * X
                 zp = zp * z
+            if checkpoint and ((idx + 1) % checkpoint_every == 0
+                               or idx + 1 == len(zs)):
+                _save(idx + 1)
     return A
 
 
@@ -617,17 +657,20 @@ def pos_test(Om, P, Gamma):
 
 
 def beyn(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0, rtol=0.0,
-         pos_test_flag=True, output=False, random=False):
+         pos_test_flag=True, output=False, random=False,
+         checkpoint: Optional[str] = None):
     """Beyn's contour-integral global eigensolver (beyn.jl:34-110).
 
     Finds all eigenvalues inside the polygon Γ; follows the pseudocode of
     Buschmann et al. 2020.  ``tol``/``rtol``: absolute/relative singular-
     value cutoffs (see :func:`moments2eigs`; use rtol≈1e-12 on badly scaled
-    operators)."""
+    operators).  ``checkpoint``: optional path to persist/resume the
+    quadrature (see :func:`compute_moment_matrices`)."""
     d = L.size
     K = max(K, (l + d - 1) // d)
     V = initialize_V(d, l, random=random)
-    A = compute_moment_matrices(L, Gamma, V, K=K, N=N, output=output)
+    A = compute_moment_matrices(L, Gamma, V, K=K, N=N, output=output,
+                                checkpoint=checkpoint)
     Om, P, S = moments2eigs(A, tol_sigma=tol, rtol_sigma=rtol,
                             return_sigma=True)
     if output:
