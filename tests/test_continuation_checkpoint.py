@@ -56,6 +56,9 @@ class _Interruptible:
     def size(self):
         return self.L.size
 
+    def __getattr__(self, name):  # delegate params/terms/eigval/... for
+        return getattr(self.L, name)  # the checkpoint digest
+
     def __call__(self, *args, **kwargs):
         if len(args) == 1:  # the factorized L(z) inside the node loop
             self.calls += 1
@@ -98,6 +101,26 @@ def test_moment_checkpoint_digest_mismatch(tmp_path):
     A16 = compute_moment_matrices(L, Gamma, l=3, K=1, N=16, checkpoint=ck)
     A16_ref = compute_moment_matrices(L, Gamma, l=3, K=1, N=16)
     assert np.allclose(A16, A16_ref, atol=1e-12)
+
+
+def test_moment_checkpoint_param_change_invalidates(tmp_path):
+    """Changing a family parameter (e.g. τ) must invalidate the checkpoint:
+    resuming stale moments silently returns wrong eigenvalues otherwise
+    (round-1 advisor finding on the digest scope)."""
+    L, _grid = gallery.rijke_tube(24)
+    L.params["τ"] = 0.2
+    Gamma = [1.0 - 0.5j, 3.0 - 0.5j, 3.0 + 1.0j, 1.0 + 1.0j]
+    ck = str(tmp_path / "moments.npz")
+    compute_moment_matrices(L, Gamma, l=3, K=1, N=8, checkpoint=ck)
+    L.params["τ"] = 0.35
+    A = compute_moment_matrices(L, Gamma, l=3, K=1, N=8, checkpoint=ck)
+    A_ref = compute_moment_matrices(L, Gamma, l=3, K=1, N=8)
+    assert np.allclose(A, A_ref, atol=1e-12)
+    # but an untouched family still resumes: same digest, instant return
+    wrapped = _Interruptible(L, limit=0)
+    A2 = compute_moment_matrices(wrapped, Gamma, l=3, K=1, N=8,
+                                 checkpoint=ck)
+    assert wrapped.calls == 0 and np.allclose(A2, A_ref, atol=1e-12)
 
 
 def test_beyn_checkpoint_kwarg(tmp_path):

@@ -95,3 +95,19 @@ def test_two_point_pade_rijke_eigenvalue():
 
     assert abs(om_2pt - om_exact) < abs(om_taylor - om_exact)
     assert abs(om_2pt - om_exact) < 5e-3 * abs(om_exact)
+
+
+def test_duplicate_expansion_points_merge_not_nan():
+    """Entries sharing a node merge into one confluent jet instead of
+    silently producing NaN via the 0/0 divided difference (round-1
+    advisor finding)."""
+    p = np.array([1.0, -2.0, 0.0, 1.0], complex)  # 1 - 2z + z^3
+    pts = [(0.0, _taylor_of_poly(p, 0.0, 1)),
+           (0.0, _taylor_of_poly(p, 0.0, 2)),   # same node again, longer jet
+           (1.0, _taylor_of_poly(p, 1.0, 2))]
+    q = newton_polynomial(pts)
+    assert np.all(np.isfinite(q))
+    assert np.allclose(q, p, atol=1e-12)
+    # inconsistent data at a repeated node is an error, not NaN
+    with pytest.raises(ValueError):
+        newton_polynomial([(0.0, [1.0]), (0.0, [2.0]), (1.0, [0.0, 1.0])])

@@ -244,3 +244,27 @@ def test_decode_error_flag():
     assert "converged" in decode_error_flag(0)
     assert "Maximum" in decode_error_flag(1)
     assert "Singular" in decode_error_flag(-2)
+
+
+def test_moments2eigs_multiblock_K2():
+    """Incremental moment blocks with K=2: the multi-block column assembly
+    of moments2eigs (solvers.py) against a fresh single-panel run — the
+    K-augmentation path (beyn.jl:39,77-83) with len(A) > 1."""
+    from wavesandeigenvalues_jl_tpu.nlevp.solvers import (
+        compute_moment_matrices, initialize_V, moments2eigs, pos_test)
+
+    T = gallery.qep3()
+    Gamma = [-2 - 2j, 2 - 2j, 2 + 2j, -2 + 2j]
+    V1 = initialize_V(3, 3)
+    rng = np.random.default_rng(1)
+    V2 = (rng.standard_normal((3, 3))
+          + 1j * rng.standard_normal((3, 3))).astype(complex)
+    A1 = compute_moment_matrices(T, Gamma, V1, K=2, N=32)
+    A2 = compute_moment_matrices(T, Gamma, V2, K=2, N=32)
+    Om, P = moments2eigs([A1, A2], rtol_sigma=1e-10)
+    Om, P = pos_test(Om, P, Gamma)
+    # the five true QEP eigenvalues inside the square (Betcke et al.):
+    # the full-rank two-block probe recovers all of them cleanly
+    for om in (1j, -1j, 1.0, 0.5, 1.0 / 3.0):
+        assert np.min(np.abs(Om - om)) < 1e-8, om
+    assert len(Om) == 5

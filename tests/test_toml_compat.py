@@ -120,6 +120,43 @@ def test_read_toml_tolerates_stray_bracket(tmp_path):
     assert D["a"] == 1 and D["b"] == 2 and D["v"] == [1 + 0j]
 
 
+def test_unsolved_family_nonfinite_julia_parseable(tmp_path):
+    """Fresh families carry ω=NaN+NaN·im and λ=Inf; the writer must emit
+    '*im' so Julia's eval-based loader (toml.jl:52) can parse them —
+    'NaNim'/'Infim' are undefined identifiers there (round-1 advisor)."""
+    L, _grid = gallery.rijke_tube(8)
+    L.params["ω"] = complex(float("nan"), float("nan"))
+    L.params["λ"] = complex(float("inf"), 0.0)
+    fname = str(tmp_path / "fresh.toml")
+    save_family_toml(fname, L)
+    text = open(fname, encoding="utf-8").read()
+    import re
+    for bad in re.findall(r"(?:NaN|Inf)[^*\s,)]*im", text):
+        assert False, f"non-Julia-parseable literal {bad!r}"
+    assert "*im" in text
+    L2 = load_family_toml(fname)
+    assert np.isnan(L2.params["ω"].real)
+
+
+def test_adjointless_solution_roundtrip(tmp_path):
+    """Solutions without an adjoint vector (inveriter/lancaster/picard)
+    must save as 'Complex{Float64}[]' (not the Julia-syntax-error '[,]')
+    and load back with v_adj=None (round-1 advisor)."""
+    from wavesandeigenvalues_jl_tpu.nlevp import inveriter
+
+    T = gallery.qep3()
+    sol, _, flag = inveriter(T, 0.2, maxiter=40, tol=1e-11)
+    assert flag >= 0 and sol.v_adj is None
+    fname = str(tmp_path / "noadj.toml")
+    save_solution_toml(fname, sol)
+    text = open(fname, encoding="utf-8").read()
+    assert "[,]" not in text and "Complex{Float64}[]" in text
+    s2 = load_solution_toml(fname)
+    assert s2.v_adj is None
+    assert np.allclose(s2.v, sol.v)
+    assert abs(s2.params["λ"] - sol.params["λ"]) < 1e-14
+
+
 def test_revived_dead_solvers_qep():
     """mehrmann/juniper/guettel (dead code in the reference, mehrmann.jl)
     as working solvers: eigenvalue 1/3 of the NLEVP-collection QEP."""

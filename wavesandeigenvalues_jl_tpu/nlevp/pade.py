@@ -186,6 +186,37 @@ class RationalPolynomial:
 # interpolant matching Taylor data at several expansion points.
 
 
+def _merge_confluent(points):
+    """Merge entries sharing an expansion point into one confluent entry.
+
+    The divided-difference recurrence divides by z_b − z_a between separate
+    entries; a repeated node in two entries would hit 0/0 and silently
+    propagate NaN.  Entries with identical z must carry consistent Taylor
+    data on their overlap (they describe the same function) — the longer
+    coefficient list wins; inconsistent overlaps raise ValueError."""
+    merged: list = []       # [z, coeffs] in first-appearance order
+    index: dict = {}
+    for z, cf in points:
+        z = complex(z)
+        cf = np.asarray(cf, dtype=CDTYPE)
+        if z in index:
+            old = merged[index[z]][1]
+            k = min(len(old), len(cf))
+            scale = max(np.abs(old[:k]).max(initial=0.0),
+                        np.abs(cf[:k]).max(initial=0.0), 1.0)
+            if not np.allclose(old[:k], cf[:k], atol=1e-12 * scale):
+                raise ValueError(
+                    f"duplicate expansion point {z} with inconsistent "
+                    "Taylor data; confluent interpolation requires one "
+                    "consistent jet per node")
+            if len(cf) > len(old):
+                merged[index[z]][1] = cf
+        else:
+            index[z] = len(merged)
+            merged.append([z, cf])
+    return [(z, cf) for z, cf in merged]
+
+
 def newton_polynomial(points):
     """Monomial coefficients of the confluent Newton (Hermite) interpolant.
 
@@ -194,6 +225,7 @@ def newton_polynomial(points):
     f^(s)(z_i)/s! = taylor_coeffs_i[s].  Degree = total conditions − 1.
     (compute_newton_polynomial, examples/Pade/pade.jl:400-476 — divided
     differences with Taylor coefficients at repeated nodes.)"""
+    points = _merge_confluent(points)
     nodes: list = []       # node value per confluent slot
     table: dict = {}       # slot-range tuple -> divided difference
     slots: list = []       # point index per slot
@@ -273,10 +305,14 @@ def multipoint_pade(L: int, M: int, points, z0=None, scale=None):
     :class:`MultipointPade`."""
     import math
 
+    # duplicate nodes would stamp duplicate rows (rank-deficient lstsq →
+    # silently under-determined fit); merge them into one confluent jet
+    points = _merge_confluent(points)
     n_cond = sum(len(cf) for _z, cf in points)
     if n_cond != L + M + 1:
         raise ValueError(f"need L+M+1 = {L + M + 1} Taylor coefficients "
-                         f"across all points, got {n_cond}")
+                         f"across all points (after merging duplicate "
+                         f"expansion points), got {n_cond}")
     zsp = [complex(z) for z, _ in points]
     if z0 is None:
         z0 = sum(zsp) / len(zsp)

@@ -423,7 +423,10 @@ def rf2s(L: OperatorFamily, z, maxiter=10, tol=0.0, relax=1.0, x0=None,
 def nicoud(L: OperatorFamily, z, maxiter=10, tol=0.0, relax=1.0,
            n_eig_val=3, v0=None, output=False):
     """Fixed-point iteration on the companion linearization
-    [0 -I; K+Q(ω₀)  C] x = -ω [I 0; 0 M] x (nicoud.jl:1-85)."""
+    [0 -I; K+Q(ω₀)  C] x = -ω [I 0; 0 M] x (nicoud.jl:1-85).
+
+    Legacy method: densifies the 2d×2d companion pencil — O(d²) memory —
+    appropriate only for the small-model regime it historically served."""
     M = L(1, oplist=["M"], in_or_ex=True).to_dense()
     K = L(1, oplist=["K"], in_or_ex=True).to_dense()
     C = L(1, oplist=["C"], in_or_ex=True).to_dense()
@@ -462,7 +465,10 @@ def picard(L: OperatorFamily, z, maxiter=10, tol=0.0, relax=1.0,
            n_eig_val=3, v0=None, output=False):
     """ω²-fixed-point iteration: ω² = eig of (-(K+ωC+Q), M) nearest ω₀²
     (picard.jl:1-77; the shift is taken at ω₀² — the eigenvalues of the
-    linearized pencil live on the ω² scale)."""
+    linearized pencil live on the ω² scale).
+
+    Legacy method: the nonzero-shift inner eigensolve densifies the pencil
+    (O(d²) memory); appropriate only for small models."""
     d = L.size
     if v0 is None:
         v0 = np.ones(d, dtype=CDTYPE)
@@ -557,6 +563,21 @@ def compute_moment_matrices(L: OperatorFamily, Gamma, V=None, l=5, K=1,
         for part in (zs.tobytes(), ws.tobytes(), np.asarray(V).tobytes(),
                      str(K).encode()):
             h.update(part)
+        # the moments depend on the operator itself, not only the contour:
+        # fold in the family's parameter values and a term fingerprint so a
+        # checkpoint written for different params (e.g. a new τ) or a
+        # re-assembled operator is detected and recomputed, never resumed.
+        # The eigval/auxval entries are excluded: the quadrature overwrites
+        # the eigenvalue per node, so their pre-run values are irrelevant
+        # (and the first run leaves eigval at the last node, which would
+        # spuriously invalidate every legitimate resume).
+        h.update(repr(sorted((str(k), complex(v))
+                             for k, v in L.params.items()
+                             if k not in (L.eigval, L.auxval))).encode())
+        for t in L.terms:
+            h.update(t.symbol.encode())
+            h.update(str(t.params).encode())
+            h.update(np.ascontiguousarray(t.coeff.data).tobytes())
         digest = h.hexdigest()
         if os.path.exists(checkpoint):
             with np.load(checkpoint, allow_pickle=False) as ck:
@@ -815,9 +836,11 @@ def solve(L: OperatorFamily, Gamma, dl=1, N=16, tol=1e-8, eigvals=None,
                 # verified acceptance: the reference accepts any flag>=0
                 # (solver.jl:118-127) which lets maxiter-terminated
                 # non-eigenvalues through; verify the eigenpair residual.
-                Ld = L(om).to_dense()
-                resid = (np.linalg.norm(Ld @ s.v)
-                         / max(np.linalg.norm(Ld, "fro"), 1e-300)
+                # Sparse throughout: CSR matvec + data Frobenius norm are
+                # O(nnz); densifying here would be O(d²) per candidate.
+                Lz = L(om)
+                resid = (np.linalg.norm(Lz @ s.v)
+                         / max(Lz.norm(), 1e-300)
                          / max(np.linalg.norm(s.v), 1e-300))
                 is_new = (flag >= 0 and resid < max(1e-8, tol)
                           and all(abs(om - known) >= 10 * tol

@@ -260,15 +260,23 @@ def _jl_float(x: float) -> str:
 
 
 def _jl_complex(v: complex) -> str:
+    # '*im' (not bare 'im') so non-finite components stay parseable by the
+    # reference's eval-based loader (toml.jl:52): Julia reads 'NaN*im' and
+    # 'Inf*im' but 'NaNim'/'Infim' are undefined identifiers.  Fresh families
+    # carry ω=NaN+NaN*im, so this is the common case, not a corner.
     re, im = _jl_float(v.real), _jl_float(v.imag)
     if im.startswith("-"):
-        return f"{re}{im}im"
-    return f"{re}+{im}im"
+        return f"{re}{im}*im"
+    return f"{re}+{im}*im"
 
 
 def _jl_vector(V) -> str:
+    vals = np.asarray(V).ravel()
+    if len(vals) == 0:
+        # no trailing comma: 'Complex{Float64}[,]' is a Julia syntax error
+        return "Complex{Float64}[]"
     return ("Complex{Float64}["
-            + ",".join(_jl_complex(complex(v)) for v in np.asarray(V).ravel())
+            + ",".join(_jl_complex(complex(v)) for v in vals)
             + ",]")
 
 
@@ -313,8 +321,8 @@ def load_solution_toml(fname: str) -> Solution:
     """Load a Solution saved by the reference's ``save(fname, sol)``."""
     D = read_toml(fname)
     params = {str(sym): complex(val) for sym, val in D["params"]}
-    v = np.asarray(D["v"], dtype=CDTYPE) if D.get("v") else None
-    v_adj = np.asarray(D["v_adj"], dtype=CDTYPE) if D.get("v_adj") else None
+    v = _opt_vector(D.get("v"))
+    v_adj = _opt_vector(D.get("v_adj"))
     sol = Solution(params, v, v_adj, str(D["eigval"]))
     for key, value in D.get("/eigval_pert", {}).items():
         num = np.asarray(value["num"], dtype=CDTYPE)
@@ -329,6 +337,14 @@ def load_solution_toml(fname: str) -> Solution:
         else:
             sol.v_pert[key[1:]] = num
     return sol
+
+
+def _opt_vector(x):
+    """Empty vectors (None, [], or [''] from legacy '[,]' files) → None —
+    solutions from inveriter/lancaster/picard have no adjoint vector."""
+    if x is None or len(x) == 0 or x == [""]:
+        return None
+    return np.asarray(x, dtype=CDTYPE)
 
 
 def _read_vec_block(block: Dict) -> List[np.ndarray]:
