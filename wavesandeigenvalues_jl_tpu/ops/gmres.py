@@ -46,17 +46,13 @@ def _givens(a, b):
     return c, s
 
 
-@partial(jax.jit, static_argnames=("matvec", "precond", "restart",
-                                   "max_restarts"))
-def gmres(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
-          tol: float = 1e-8, restart: int = 40, max_restarts: int = 20,
-          precond: Optional[Callable] = None):
-    """Restarted GMRES(m) for A x = b with an optional RIGHT preconditioner
-    (solves A M⁻¹ u = b, x = M⁻¹ u — residuals are true residuals).
-
-    Returns (x, relres, n_restarts).  Fully jit-compiled: the Arnoldi inner
-    loop is fixed shape ``restart``; convergence is checked per restart in a
-    `lax.while_loop`."""
+def gmres_impl(matvec: Callable, b: jnp.ndarray,
+               x0: Optional[jnp.ndarray] = None, tol: float = 1e-8,
+               restart: int = 40, max_restarts: int = 20,
+               precond: Optional[Callable] = None):
+    """Unjitted GMRES(m) body — call this from *inside* an already-jitted
+    program (fresh closures would defeat :func:`gmres`'s jit cache there);
+    top-level callers use the jitted :func:`gmres` wrapper below."""
     dtype = b.dtype
     n = b.shape[0]
     m = restart
@@ -135,6 +131,15 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     res0 = jnp.linalg.norm(b - matvec(x0)) / bnorm
     x, its, res = jax.lax.while_loop(cond, step, (x0, jnp.array(0), res0))
     return x, res, its
+
+
+gmres = partial(jax.jit, static_argnames=("matvec", "precond", "restart",
+                                          "max_restarts"))(gmres_impl)
+gmres.__doc__ = """Restarted GMRES(m) for A x = b with an optional RIGHT
+preconditioner (solves A M⁻¹ u = b, x = M⁻¹ u — residuals are true
+residuals).  Returns (x, relres, n_restarts).  Fully jit-compiled: the
+Arnoldi inner loop is fixed shape ``restart``; convergence is checked per
+restart in a `lax.while_loop`."""
 
 
 def _block_diag_inv(rows, cols, data, n: int, bs: int) -> np.ndarray:

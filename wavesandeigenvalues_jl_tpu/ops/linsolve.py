@@ -108,7 +108,22 @@ class SparseLU(Factorization):
 SPARSE_LU_MIN_DIM = 600
 
 
-def factorize(A: Union[CSR, np.ndarray], check: bool = False) -> Factorization:
+def factorize(A: Union[CSR, np.ndarray], check: bool = False,
+              backend: str | None = None) -> Factorization:
+    """Factorize for repeated shifted solves (the UMFPACK role,
+    Householder.jl:100-101).  ``backend`` overrides the session default
+    (``utils.config.solve_backend()``): 'host' (scipy) or
+    'device'/'device_lu'/'device_gmres' (XLA LU / jitted GMRES with
+    mixed-precision refinement — see :mod:`.device_solve`)."""
+    from ..utils.config import solve_backend
+    backend = backend or solve_backend()
+    if backend != "host":
+        from .device_solve import device_factorize
+        F = device_factorize(A, backend)
+        if check and not F.ok:
+            raise SingularMatrixError(
+                "device LU factorization failed (singular matrix)")
+        return F
     if isinstance(A, CSR):
         if A.shape[0] >= SPARSE_LU_MIN_DIM:
             F = SparseLU(A)
@@ -121,9 +136,18 @@ def factorize(A: Union[CSR, np.ndarray], check: bool = False) -> Factorization:
     return F
 
 
-def factorize_with_fallback(A: Union[CSR, np.ndarray]) -> Factorization:
+def factorize_with_fallback(A: Union[CSR, np.ndarray],
+                            backend: str | None = None) -> Factorization:
     """LU if it exists, else least-squares QR (the reference's
-    lu-then-qr strategy for the singular L(0,0), perturbation.jl:329-332)."""
+    lu-then-qr strategy for the singular L(0,0), perturbation.jl:329-332).
+    On a device backend a failed device LU falls back to the host path."""
+    from ..utils.config import solve_backend
+    backend = backend or solve_backend()
+    if backend != "host":
+        from .device_solve import device_factorize
+        F = device_factorize(A, backend)
+        if F.ok:
+            return F
     if isinstance(A, CSR):
         if A.shape[0] >= SPARSE_LU_MIN_DIM:
             F = SparseLU(A)

@@ -55,3 +55,30 @@ def device_complex_dtype():
 #: perturbation order for which multi-index tables are pre-generated
 #: (reference: deps/build.jl:4-11, env JULIA_WAE_PERT_ORDER, default 16).
 PERT_ORDER = int(os.environ.get("WAE_TPU_PERT_ORDER", "16"))
+
+
+# ---------------------------------------------------------------------------
+# shifted-solve backend (the reference's UMFPACK role):
+#   'host'         scipy SuperLU / LAPACK on CPU
+#   'device'       XLA dense LU below DEVICE_DENSE_MAX_DIM, GMRES above
+#   'device_lu' / 'device_gmres'   force one device path
+
+_SOLVE_BACKENDS = ("host", "device", "device_lu", "device_gmres")
+_solve_backend = os.environ.get("WAE_SOLVE_BACKEND", "host")
+
+
+def solve_backend() -> str:
+    """Current default backend for :func:`..ops.linsolve.factorize`."""
+    return _solve_backend
+
+
+def set_solve_backend(backend: str) -> str:
+    """Set the default shifted-solve backend; returns the previous value
+    (so callers can restore it)."""
+    global _solve_backend
+    if backend not in _SOLVE_BACKENDS:
+        raise ValueError(f"unknown solve backend {backend!r}; "
+                         f"one of {_SOLVE_BACKENDS}")
+    prev = _solve_backend
+    _solve_backend = backend
+    return prev
