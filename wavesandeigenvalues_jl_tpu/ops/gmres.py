@@ -49,25 +49,37 @@ def _givens(a, b):
 def gmres_impl(matvec: Callable, b: jnp.ndarray,
                x0: Optional[jnp.ndarray] = None, tol: float = 1e-8,
                restart: int = 40, max_restarts: int = 20,
-               precond: Optional[Callable] = None):
+               precond: Optional[Callable] = None,
+               reduce_fn: Optional[Callable] = None):
     """Unjitted GMRES(m) body — call this from *inside* an already-jitted
     program (fresh closures would defeat :func:`gmres`'s jit cache there);
-    top-level callers use the jitted :func:`gmres` wrapper below."""
+    top-level callers use the jitted :func:`gmres` wrapper below.
+
+    ``reduce_fn``: cross-shard sum for inner products (identity when the
+    vectors are whole).  Under ``shard_map`` with row-sharded vectors pass
+    ``lambda s: lax.psum(s, 'row')`` — every norm/dot here reduces through
+    it, so the SAME Arnoldi body runs distributed (the small rotated
+    least-squares state is then replicated per shard)."""
     dtype = b.dtype
     n = b.shape[0]
     m = restart
     if x0 is None:
         x0 = jnp.zeros_like(b)
     Minv = precond if precond is not None else (lambda v: v)
+    reduce_ = reduce_fn if reduce_fn is not None else (lambda s: s)
+
+    def vnorm(v):
+        return jnp.sqrt(jnp.real(reduce_(jnp.sum(jnp.abs(v) ** 2))))
+
     rdtype = jnp.zeros(0, dtype).real.dtype
     rone = jnp.ones((), rdtype)
     czero = jnp.zeros((), dtype)
-    bnorm = jnp.linalg.norm(b)
+    bnorm = vnorm(b)
     bnorm = jnp.where(bnorm == 0, rone, bnorm)
 
     def arnoldi_cycle(x):
         r = b - matvec(x)
-        beta = jnp.linalg.norm(r)
+        beta = vnorm(r)
         V = jnp.zeros((m + 1, n), dtype)
         H = jnp.zeros((m + 1, m), dtype)
         V = V.at[0].set(r / jnp.where(beta == 0, rone, beta))
@@ -83,11 +95,11 @@ def gmres_impl(matvec: Callable, b: jnp.ndarray,
             w = matvec(Minv(V[j]))
             # modified Gram-Schmidt (one pass; fixed shape over all m+1
             # rows, rows > j are zero so the dots vanish)
-            h = jnp.einsum("kn,n->k", jnp.conj(V), w)
+            h = reduce_(jnp.einsum("kn,n->k", jnp.conj(V), w))
             mask = (jnp.arange(m + 1) <= j)
             h = jnp.where(mask, h, czero)
             w = w - jnp.einsum("k,kn->n", h, V)
-            hn = jnp.linalg.norm(w)
+            hn = vnorm(w)
             V2 = V.at[j + 1].set(w / jnp.where(hn == 0, rone, hn))
             Hcol = h.at[j + 1].set(hn.astype(dtype))
             # apply accumulated rotations to the new column
@@ -125,16 +137,17 @@ def gmres_impl(matvec: Callable, b: jnp.ndarray,
     def step(state):
         x, it, _ = state
         x = arnoldi_cycle(x)
-        res = jnp.linalg.norm(b - matvec(x)) / bnorm
+        res = vnorm(b - matvec(x)) / bnorm
         return (x, it + 1, res)
 
-    res0 = jnp.linalg.norm(b - matvec(x0)) / bnorm
+    res0 = vnorm(b - matvec(x0)) / bnorm
     x, its, res = jax.lax.while_loop(cond, step, (x0, jnp.array(0), res0))
     return x, res, its
 
 
 gmres = partial(jax.jit, static_argnames=("matvec", "precond", "restart",
-                                          "max_restarts"))(gmres_impl)
+                                          "max_restarts",
+                                          "reduce_fn"))(gmres_impl)
 gmres.__doc__ = """Restarted GMRES(m) for A x = b with an optional RIGHT
 preconditioner (solves A M⁻¹ u = b, x = M⁻¹ u — residuals are true
 residuals).  Returns (x, relres, n_restarts).  Fully jit-compiled: the

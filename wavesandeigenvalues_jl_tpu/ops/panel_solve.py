@@ -1,0 +1,267 @@
+"""Matrix-free batched shifted panel solves: X_j = L(z_j)⁻¹ V on device.
+
+This is the scalable device path for the Beyn contour quadrature
+(/root/reference/src/NLEVP/beyn.jl:62-74: |Γ|·N independent sparse LU
+solves with an l-column probe block).  The round-1 device Beyn densified
+each node as a [d,d] solve, capping scale at ~10⁴ DOF; here every node is
+solved matrix-free:
+
+* the operator family evaluates on device as ``data = c @ values`` over
+  the union-pattern stack (one tiny contraction per shift) — no dense
+  materialization anywhere;
+* the per-shift LEFT block-Jacobi preconditioner is BUILT ON DEVICE from
+  the shifted data (scatter into [nb, bs, bs] diagonal blocks + one
+  batched ``jnp.linalg.inv``) — left, not right, because penalty-BC rows
+  (admittance Y~1e15) span ~16 orders of magnitude and must be normalized
+  out of the residual norm for single precision to converge;
+* GMRES(m) instances are vmapped over (shift × column) and chunked so the
+  Krylov bases fit device memory at any problem size;
+* mixed-precision iterative refinement against exact complex128 host
+  residuals (scipy CSR matmat on the shared structure) recovers reference
+  accuracy from the complex64 device solves.
+
+Axon-runtime complex rules: all complex crosses the host↔device boundary
+as (re, im) float planes recombined with ``lax.complex`` on device.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import CDTYPE, device_complex_dtype
+from .gmres import gmres_impl
+
+#: device-memory budget (bytes) for one chunk's Krylov bases
+PANEL_BUDGET = float(os.environ.get("WAE_PANEL_BUDGET", "1.5e9"))
+
+
+def _planes(x, rdt):
+    x = np.asarray(x)
+    return (np.ascontiguousarray(x.real).astype(rdt),
+            np.ascontiguousarray(x.imag).astype(rdt))
+
+
+@partial(jax.jit, static_argnames=("n", "nb", "bs", "restart",
+                                   "max_restarts"))
+def _panel_gmres(vr, vi, rows, cols, bsel, brow, bcol, nsel,
+                 cr, ci, br, bi, tol,
+                 n: int, nb: int, bs: int, restart: int, max_restarts: int):
+    """One chunk of shifted panel solves.
+
+    ``vr/vi``: [K, nnz] family value-stack planes (shared);
+    ``rows/cols``: [nnz] union-pattern structure; ``bsel/brow/bcol/nsel``:
+    diagonal-block scatter map (entries of the pattern that land in
+    [bs,bs] diagonal blocks); ``cr/ci``: [S, K] per-shift coefficient
+    planes; ``br/bi``: [S, l, n] RHS planes.  Returns solution planes
+    [S, l, n] and preconditioned relative residuals [S, l]."""
+    vals = jax.lax.complex(vr, vi)
+
+    def one_shift(c, B):
+        data = c @ vals                                        # [nnz]
+        # device-built block-Jacobi: scatter diagonal blocks, invert
+        D = (jnp.zeros((nb, bs, bs), data.dtype)
+             .at[bsel, brow, bcol].add(data[nsel]))
+        i = jnp.arange(bs)
+        diag = D[:, i, i]
+        D = D.at[:, i, i].set(jnp.where(jnp.abs(diag) == 0,
+                                        jnp.ones((), data.dtype), diag))
+        Dinv = jnp.linalg.inv(D)
+        npad = nb * bs
+
+        def spmv(x):
+            return jnp.zeros(n, data.dtype).at[rows].add(data * x[cols])
+
+        def dinv(v):
+            vp = jnp.zeros(npad, v.dtype).at[:n].set(v)
+            out = jnp.einsum("bij,bj->bi", Dinv, vp.reshape(nb, bs))
+            return out.reshape(-1)[:n]
+
+        def one_col(b):
+            x, res, _ = gmres_impl(lambda x: dinv(spmv(x)), dinv(b),
+                                   tol=tol, restart=restart,
+                                   max_restarts=max_restarts)
+            return x, res
+
+        return jax.vmap(one_col)(B)
+
+    X, res = jax.vmap(one_shift)(jax.lax.complex(cr, ci),
+                                 jax.lax.complex(br, bi))
+    return jnp.real(X), jnp.imag(X), res
+
+
+class ShiftedPanelSolver:
+    """Matrix-free device solver for L(z) X = B panels at many shifts.
+
+    Built once per operator family (structure, value stack and the
+    diagonal-block scatter map are shift-independent); :meth:`solve`
+    accepts any batch of shifts/RHS panels.  The UMFPACK-per-node role of
+    the reference's contour quadrature (beyn.jl:62-74), re-designed as
+    chunked vmapped GMRES + host-residual refinement."""
+
+    def __init__(self, family, bs: int = 64, tol: float = 1e-8,
+                 restart: int = 60, max_restarts: int = 50,
+                 chunk: Optional[int] = None,
+                 refine_sweeps: int = 4, refine_tol: float = 1e-11):
+        self.family = family
+        S = family._stack()
+        self._stack_obj = S
+        self.n = int(S.shape[0])
+        self.K = int(S.values.shape[0])
+        self.nnz = int(S.nnz)
+        self.bs = bs
+        self.nb = -(-self.n // bs)
+        self.restart = restart
+        self.max_restarts = max_restarts
+        self.refine_sweeps, self.refine_tol = refine_sweeps, refine_tol
+        cdt = device_complex_dtype()
+        self._rdt = np.float32 if cdt == np.complex64 else np.float64
+        # f32 devices solve to ~ε_f32 and rely on refinement; an f64
+        # backend can hit the refinement target directly (no extra sweeps)
+        self.tol = tol if self._rdt == np.float32 else min(tol,
+                                                           0.1 * refine_tol)
+        self._csize = 8 if cdt == np.complex64 else 16
+        rows = np.asarray(S.row_ids(), np.int64)
+        cols = np.asarray(S.indices, np.int64)
+        self._rows32 = rows.astype(np.int32)
+        self._cols32 = cols.astype(np.int32)
+        # diagonal-block scatter map (host, structure-only)
+        sel = (rows // bs) == (cols // bs)
+        self._nsel = np.where(sel)[0].astype(np.int32)
+        self._bsel = (rows[sel] // bs).astype(np.int32)
+        self._brow = (rows[sel] % bs).astype(np.int32)
+        self._bcol = (cols[sel] % bs).astype(np.int32)
+        self._vr, self._vi = _planes(S.values, self._rdt)
+        self._chunk = chunk
+        # host-exact structure for refinement residuals
+        import scipy.sparse as sp
+        self._sp = sp
+        self._indptr = np.asarray(S.indptr)
+        self._indices = np.asarray(S.indices)
+        self._values128 = np.asarray(S.values, np.complex128)
+
+    # -- host helpers ------------------------------------------------------
+
+    def coefficients(self, zs) -> np.ndarray:
+        """[B, K] exact per-shift family coefficients."""
+        L = self.family
+        eig = L.eigval
+        saved = L.params[eig]
+        out = np.zeros((len(zs), self.K), np.complex128)
+        for i, z in enumerate(np.asarray(zs)):
+            L.params[eig] = complex(z)
+            out[i] = L.coefficients({})
+        L.params[eig] = saved
+        return out
+
+    def _host_csr(self, coeff):
+        data = coeff @ self._values128
+        return self._sp.csr_matrix((data, self._indices, self._indptr),
+                                   shape=(self.n, self.n))
+
+    def _auto_chunk(self, l: int) -> int:
+        per_instance = (self.restart + 1) * self.n * self._csize * 2
+        per_shift = (self.nb * self.bs * self.bs + 2 * self.nnz) * self._csize
+        c = int(PANEL_BUDGET // (l * per_instance + per_shift))
+        return max(1, c)
+
+    # -- device passes -----------------------------------------------------
+
+    def _solve_chunks(self, coeffs, B):
+        """Raw device pass: [S,K] coeffs, [S,l,n] RHS -> [S,l,n] X c128."""
+        Sn = coeffs.shape[0]
+        l = B.shape[1]
+        cmax = self._chunk or self._auto_chunk(l)
+        X = np.empty((Sn, l, self.n), np.complex128)
+        res = np.empty((Sn, l), np.float64)
+        tol = np.asarray(self.tol, self._rdt)
+        s0 = 0
+        while s0 < Sn:
+            # power-of-two chunk sizes, never exceeding the remaining batch
+            # rounded up: bounds both padding waste (<2×) and the number of
+            # distinct compiled shapes (≤ log₂ cmax over the lifetime —
+            # refinement calls with shrinking live sets reuse them)
+            rem = Sn - s0
+            chunk = min(cmax, 1 << (rem - 1).bit_length())
+            s1 = min(s0 + chunk, Sn)
+            pad = chunk - (s1 - s0)
+            c = coeffs[s0:s1]
+            b = B[s0:s1]
+            if pad:  # fixed chunk shape -> one compiled program
+                c = np.concatenate([c, np.repeat(c[-1:], pad, 0)])
+                b = np.concatenate([b, np.repeat(b[-1:], pad, 0)])
+            Xr, Xi, r = _panel_gmres(
+                self._vr, self._vi, self._rows32, self._cols32,
+                self._bsel, self._brow, self._bcol, self._nsel,
+                *_planes(c, self._rdt), *_planes(b, self._rdt), tol,
+                n=self.n, nb=self.nb, bs=self.bs, restart=self.restart,
+                max_restarts=self.max_restarts)
+            Xr, Xi, r = np.asarray(Xr), np.asarray(Xi), np.asarray(r)
+            X[s0:s1] = (Xr.astype(np.float64)
+                        + 1j * Xi.astype(np.float64))[:s1 - s0]
+            res[s0:s1] = r[:s1 - s0]
+            s0 = s1
+        return X, res
+
+    def solve(self, zs, V, output: bool = False):
+        """X[j] = L(z_j)⁻¹ V to complex128 accuracy.
+
+        ``zs``: [S] shifts; ``V``: [n, l] shared probe panel or [S, n, l]
+        per-shift RHS.  Returns (X [S, n, l], info) where info carries the
+        final exact relative residuals per shift."""
+        zs = np.asarray(zs)
+        Sn = len(zs)
+        V = np.asarray(V, np.complex128)
+        if V.ndim == 2:
+            Bfull = np.broadcast_to(V.T[None], (Sn,) + V.T.shape).copy()
+        else:
+            Bfull = np.ascontiguousarray(np.swapaxes(V, 1, 2))   # [S, l, n]
+        l = Bfull.shape[1]
+        coeffs = self.coefficients(zs)
+        mats = [self._host_csr(coeffs[j]) for j in range(Sn)]
+        bnorm = np.linalg.norm(Bfull, axis=2)                    # [S, l]
+        bnorm = np.where(bnorm == 0, 1.0, bnorm)
+
+        best, _ = self._solve_chunks(coeffs, Bfull)
+        best_res = np.empty((Sn, l))
+        R = np.empty_like(Bfull)
+        for j in range(Sn):  # exact c128 residuals
+            R[j] = Bfull[j] - (mats[j] @ best[j].T).T
+            best_res[j] = np.linalg.norm(R[j], axis=1) / bnorm[j]
+        prev_max = np.inf
+        for sweep in range(self.refine_sweeps):
+            live = np.where(np.any(best_res > self.refine_tol, axis=1))[0]
+            cur_max = float(best_res.max())
+            if output:
+                print(f"panel refine sweep {sweep}: max relres "
+                      f"{cur_max:.3e}, {len(live)} shifts live")
+            # stop on convergence or stagnation (the device solver has
+            # reached its attainable accuracy — keep the best iterate)
+            if len(live) == 0 or cur_max > 0.25 * prev_max:
+                break
+            prev_max = cur_max
+            dX, _ = self._solve_chunks(coeffs[live], R[live])
+            cand = best[live] + dX
+            # accept per-column only if the exact residual improved
+            for i, j in enumerate(live):
+                Rc = Bfull[j] - (mats[j] @ cand[i].T).T
+                rc = np.linalg.norm(Rc, axis=1) / bnorm[j]
+                upd = rc < best_res[j]
+                best[j][upd] = cand[i][upd]
+                best_res[j][upd] = rc[upd]
+                R[j][upd] = Rc[upd]
+        info = {"relres": best_res, "max_relres": float(best_res.max())}
+        return np.ascontiguousarray(np.swapaxes(best, 1, 2)), info
+
+
+def solve_shifted_panel(family, zs, V, **kw):
+    """One-shot convenience wrapper around :class:`ShiftedPanelSolver`."""
+    output = kw.pop("output", False)
+    return ShiftedPanelSolver(family, **kw).solve(zs, V, output=output)
+
+
+__all__ = ["ShiftedPanelSolver", "solve_shifted_panel", "PANEL_BUDGET"]

@@ -48,6 +48,32 @@ def _coeff_batch(L: OperatorFamily, zs: np.ndarray) -> np.ndarray:
     return out
 
 
+#: above this dimension ``dense=None`` switches to the matrix-free path
+DENSE_BEYN_MAX_DIM = 4096
+
+
+def matfree_moments(L: OperatorFamily, Gamma, V=None, l=5, K=1, N=16,
+                    output=False, **solver_kw):
+    """Moment matrices via the matrix-free device panel solver — the
+    scalable path (no [d,d] materialization anywhere; see
+    :mod:`..ops.panel_solve`).  Solver keywords (``bs``, ``tol``,
+    ``restart``, ``chunk``, …) pass through to
+    :class:`..ops.panel_solve.ShiftedPanelSolver`."""
+    from ..nlevp.solvers import initialize_V
+    from ..ops.panel_solve import ShiftedPanelSolver
+    d = L.size
+    if V is None:
+        V = initialize_V(d, l)
+    V = np.asarray(V)
+    d, l = V.shape
+    zs, ws = gauss_nodes(Gamma, N)
+    solver = ShiftedPanelSolver(L, **solver_kw)
+    X, info = solver.solve(zs, V, output=output)          # [B, d, l]
+    powers = ws[:, None] * zs[:, None] ** np.arange(2 * K)[None, :]
+    A = np.einsum("bp,bil->ilp", powers, X)
+    return A.astype(np.complex128), info
+
+
 def batched_moments(L: OperatorFamily, Gamma, V=None, l=5, K=1, N=16,
                     mesh: Optional[Mesh] = None, axis: str = "shift",
                     dtype=None):
@@ -122,18 +148,32 @@ def batched_moments(L: OperatorFamily, Gamma, V=None, l=5, K=1, N=16,
 
 def beyn_batched(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0,
                  rtol=0.0, pos_test_flag=True, mesh: Optional[Mesh] = None,
-                 axis: str = "shift", dtype=None):
+                 axis: str = "shift", dtype=None, dense: Optional[bool] = None,
+                 output=False, **solver_kw):
     """Beyn's algorithm with device-batched (and optionally chip-sharded)
     quadrature (drop-in for nlevp.solvers.beyn; ``tol``/``rtol`` are the
-    absolute/relative singular-value cutoffs of the Hankel SVD filter)."""
+    absolute/relative singular-value cutoffs of the Hankel SVD filter).
+
+    ``dense``: True → batched dense LU per node (fastest below ~4k DOF);
+    False → matrix-free GMRES panel solves (scales with nnz, the regime the
+    reference serves with UMFPACK, beyn.jl:62-74); None → auto by size."""
     d = L.size
+    # minimum augmentation so the Hankel blocks can hold l probes —
+    # identical to the reference's K=max(K, l÷d + (l%d≠0)) at beyn.jl:39
     K = max(K, (l + d - 1) // d)
-    A = batched_moments(L, Gamma, l=l, K=K, N=N, mesh=mesh, axis=axis,
-                        dtype=dtype)
+    if dense is None:
+        dense = d <= DENSE_BEYN_MAX_DIM
+    if dense:
+        A = batched_moments(L, Gamma, l=l, K=K, N=N, mesh=mesh, axis=axis,
+                            dtype=dtype)
+    else:
+        A, _info = matfree_moments(L, Gamma, l=l, K=K, N=N, output=output,
+                                   **solver_kw)
     Om, Pv = moments2eigs([A], tol_sigma=tol, rtol_sigma=rtol)
     if pos_test_flag:
         Om, Pv = pos_test(Om, Pv, Gamma)
     return Om, Pv
 
 
-__all__ = ["batched_moments", "beyn_batched"]
+__all__ = ["batched_moments", "matfree_moments", "beyn_batched",
+           "DENSE_BEYN_MAX_DIM"]

@@ -64,36 +64,38 @@ def _partition_structure(indptr, indices, values_kn, n, n_parts):
     """Core: partition (indptr, indices) with stacked values [K, nnz]."""
     K = values_kn.shape[0]
     counts = np.diff(indptr)
+    nnz = len(indices)
     w = int(counts.max()) if n else 1
     m = -(-n // n_parts)
-    # ELL in global numbering
+    # vectorized ragged→padded ELL in global numbering (no per-row loop:
+    # setup must stay sub-second at 10⁵–10⁶ DOF)
     cols_g = np.zeros((n, w), dtype=np.int64)
     vals_g = np.zeros((K, n, w), dtype=values_kn.dtype)
     mask = np.zeros((n, w), dtype=bool)
-    for i in range(n):
-        c = counts[i]
-        cols_g[i, :c] = indices[indptr[i]:indptr[i + 1]]
-        vals_g[:, i, :c] = values_kn[:, indptr[i]:indptr[i + 1]]
-        mask[i, :c] = True
+    ridx = np.repeat(np.arange(n), counts)
+    pos = np.arange(nnz) - np.repeat(indptr[:-1], counts)
+    cols_g[ridx, pos] = indices
+    vals_g[:, ridx, pos] = values_kn
+    mask[ridx, pos] = True
     starts = (np.arange(n) // m) * m
     rel = cols_g - starts[:, None]
     rel_lo = int(np.where(mask, rel, 0).min()) if n else 0
     rel_hi = int(np.where(mask, rel, 0).max()) if n else 0
     H = max(0, -rel_lo, rel_hi - (m - 1))
     W = m + 2 * H
-    cols = np.full((n_parts, m, w), W, dtype=IDTYPE)
-    values = np.zeros((K, n_parts, m, w), dtype=values_kn.dtype)
-    row_mask = np.zeros((n_parts, m), dtype=bool)
-    for p in range(n_parts):
-        r0, r1 = p * m, min((p + 1) * m, n)
-        nr = r1 - r0
-        if nr <= 0:
-            continue
-        row_mask[p, :nr] = True
-        local = cols_g[r0:r1] - (r0 - H)
-        cols[p, :nr] = np.where(mask[r0:r1], local, W)
-        values[:, p, :nr] = vals_g[:, r0:r1]
-    return cols, values, row_mask, m, H
+    # split into parts by padding the row axis to n_parts·m and reshaping;
+    # local window index = global col − (part_start − H), padding → W
+    local = np.where(mask, rel + H, W)
+    npad = n_parts * m
+    cols = np.full((npad, w), W, dtype=IDTYPE)
+    cols[:n] = local
+    values = np.zeros((K, npad, w), dtype=values_kn.dtype)
+    values[:, :n] = vals_g
+    row_mask = np.zeros(npad, dtype=bool)
+    row_mask[:n] = True
+    return (cols.reshape(n_parts, m, w),
+            values.reshape(K, n_parts, m, w),
+            row_mask.reshape(n_parts, m), m, H)
 
 
 def _permute_pattern(indptr, indices, values_kn, perm, n):
