@@ -42,6 +42,12 @@ def test_extend_mesh_counts():
     # per-sector domains exist for :unit degree
     assert "Inlet#0" in unit.domains
     assert all(f"Inlet#{s}" in full.domains for s in range(6))
+    # per-cell simplex counts (the reference documents these SymInfo
+    # fields, Meshutils.jl:22-23, but never populates them)
+    assert dos.nxsector_tet == 2 * len(half.tetrahedra)
+    assert full.dos.nxsector_tet == len(full.tetrahedra) // 6
+    assert dos.nxsector_tri == full.dos.nxsector_tri \
+        == len(full.triangles) // 6 > 0
 
 
 @pytest.mark.parametrize("with_axis", [False, True])
@@ -87,6 +93,28 @@ def test_bloch_expand_satisfies_full_operator():
     res = np.linalg.norm(A @ v) / (np.linalg.norm(v)
                                    * np.linalg.norm(A, "fro"))
     assert res < 1e-12
+
+
+def test_bloch_expand_p2_satisfies_full_operator():
+    """P2 expansion (beyond the reference's P1-only Bloch.jl:120-143):
+    point AND edge DOFs of a quad unit-cell eigenvector expand to an
+    eigenvector of the full quad operator."""
+    unit, full = _unit_full(DOS=4, with_axis=True, nr=2, nphi=2, nz=3)
+    l = discretize(unit, DSCRP, _c(unit), order="quad", b="b")
+    L = discretize(full, DSCRP, _c(full), order="quad")
+    l.params["b"] = 1.0
+    sol, _, flag = mslp(l, 330.0, tol=1e-11, scale=2 * np.pi, maxiter=25)
+    assert flag == 0
+    v = bloch_expand(unit, sol, "b", full_mesh=full)
+    assert len(v) == full.n_points + len(full.lines)
+    om = sol.params["ω"]
+    A = L(om).to_dense()
+    res = np.linalg.norm(A @ v) / (np.linalg.norm(v)
+                                   * np.linalg.norm(A, "fro"))
+    assert res < 1e-12
+    # sector-to-sector phase continuity of the edge DOFs
+    npt = full.n_points
+    assert np.linalg.norm(v[npt:]) > 0
 
 
 @pytest.mark.skipif(not os.path.exists(NTNU), reason="reference mesh absent")

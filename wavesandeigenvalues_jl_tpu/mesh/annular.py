@@ -12,7 +12,7 @@ reduction (fem/bloch.py) consumes.  ``bloch_expand`` reconstructs a
 full-annulus eigenvector from a unit-cell solution (Bloch.jl:120-143)."""
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -286,18 +286,45 @@ def extend_mesh(mesh: Mesh, doms: Sequence[Tuple[str, str]],
             arr = arr[arr >= 0]
             domains[name] = {"dimension": dim, "simplices": arr}
 
+    # per-unit-cell simplex counts (the reference documents these SymInfo
+    # fields, Meshutils.jl:22-23, but always stores 0 at
+    # annular_meshes.jl:565 — populated here: tets per cell, and surface
+    # tris per cell excluding the Bloch plane and its image)
+    nxsector_tet = len(tetrahedra) if unit else len(tetrahedra) // DOS
+    if unit:
+        on_bloch = np.all(triangles < nbloch, axis=1)
+        img_lo, img_hi = naxis + nxsector, naxis + nxsector + nxbloch
+        on_image = np.all((triangles < naxis)
+                          | ((triangles >= img_lo) & (triangles < img_hi)),
+                          axis=1)
+        nxsector_tri = len(triangles) - int(on_bloch.sum()) \
+            - int(on_image.sum())
+    else:
+        nxsector_tri = len(triangles) // DOS
+
     out = Mesh(fpoints, lines, triangles, None, tetrahedra, domains,
                name=("unit from " if unit else "extended from ") + mesh.name,
                file=mesh.file)
     out.dos = SymInfo(DOS, naxis, nxbloch, nbody, shiftbody, nxsymmetry,
-                      nxsector, naxis_ln, nxbloch_ln, nxsector_ln, 0, 0,
+                      nxsector, naxis_ln, nxbloch_ln, nxsector_ln,
+                      nxsector_tri, nxsector_tet,
                       n=n0, pnt=p0, unit=unit)
     return out
 
 
-def bloch_expand(mesh: Mesh, sol_or_vec, b=None) -> np.ndarray:
+def bloch_expand(mesh: Mesh, sol_or_vec, b=None,
+                 full_mesh: Optional[Mesh] = None) -> np.ndarray:
     """Expand a unit-cell eigenvector to the full annulus:
-    v_s = v·exp(+2πi·b·s/DOS) per sector (bloch_expand, Bloch.jl:120-143)."""
+    v_s = v·exp(+2πi·b·s/DOS) per sector (bloch_expand, Bloch.jl:120-143).
+
+    Point (P1) DOFs follow the reference.  P2 vectors (point + edge DOFs)
+    additionally need BOTH meshes of the extend_mesh pair — pass the
+    second one as ``full_mesh`` (either order; they are told apart by
+    ``dos.unit``).  Every full-annulus edge is rotated back into the
+    reference sector, matched against the unit mesh's edge list (image
+    edges map to the reference Bloch-plane edges with one extra sector
+    phase), and phased by its owning sector — beyond the reference, whose
+    ``bloch_expand`` is P1-only (Bloch.jl:120-143)."""
     dos = mesh.dos
     if hasattr(sol_or_vec, "v"):
         vec = sol_or_vec.v
@@ -306,12 +333,73 @@ def bloch_expand(mesh: Mesh, sol_or_vec, b=None) -> np.ndarray:
         vec = np.asarray(sol_or_vec)
         B = b if b is not None else 0
     naxis, nxs, DOS = dos.naxis, dos.nxsector, dos.DOS
-    v = np.zeros(naxis + nxs * DOS, dtype=np.complex128)
+    npt_full = naxis + nxs * DOS
+    npt_red = naxis + nxs              # reduced point DOFs of the unit cell
+    phases = np.exp(2j * np.pi / DOS * B * np.arange(DOS + 1))
+
+    v = np.zeros(npt_full, dtype=np.complex128)
     v[:naxis] = vec[:naxis]
     for s in range(DOS):
         v[naxis + s * nxs:naxis + (s + 1) * nxs] = \
-            vec[naxis:naxis + nxs] * np.exp(2j * np.pi / DOS * B * s)
-    return v
+            vec[naxis:naxis + nxs] * phases[s]
+    if len(vec) == npt_red:            # P1: points only
+        return v
+
+    # ---- P2: expand the edge DOFs --------------------------------------
+    pair = (mesh, full_mesh) if full_mesh is not None else (mesh, None)
+    unit_m = next((m for m in pair if m is not None and m.dos.unit), None)
+    full_m = next((m for m in pair if m is not None and not m.dos.unit),
+                  None)
+    if unit_m is None or full_m is None:
+        raise ValueError("bloch_expand of a P2 (quad) eigenvector needs "
+                         "both meshes of the extend_mesh pair (pass the "
+                         "other one as full_mesh=)")
+    udos = unit_m.dos
+    naxis_ln, nxbloch_ln = udos.naxis_ln, udos.nxbloch_ln
+    nxsector_ln = udos.nxsector_ln
+    nred_ln = naxis_ln + nxsector_ln   # reduced edge DOFs of the unit cell
+    if len(vec) != npt_red + nred_ln:
+        raise ValueError(f"vector length {len(vec)} is neither P1 "
+                         f"({npt_red}) nor P2 ({npt_red + nred_ln})")
+    ulines = np.sort(np.asarray(unit_m.lines), axis=1)
+    # packed keys for unit edge lookup (shared n_max — see mesh.core)
+    n_max = int(max(ulines.max(), naxis + nxs * DOS)) + 1
+    ukey = ulines[:, 0].astype(np.int64) * n_max + ulines[:, 1]
+    uorder = np.argsort(ukey)
+    ukey_s = ukey[uorder]
+
+    flines = np.sort(np.asarray(full_m.lines), axis=1)
+    # owning sector: max over non-axis endpoints of their sector index,
+    # except the wrap pair {0, DOS-1} which sector DOS-1 owns (its image
+    # plane is sector 0's reference plane)
+    sec = np.where(flines < naxis, -1, (flines - naxis) // nxs)
+    s_lo, s_hi = sec.min(axis=1), sec.max(axis=1)
+    # adjacent sectors (s, s+1): sector s owns the edge (the shared plane
+    # is s's IMAGE plane = s+1's reference plane); wrap pair {0, DOS-1}
+    # is owned by DOS-1 whose image plane is sector 0's reference plane
+    owner = np.where(s_lo < 0, s_hi, s_lo)
+    wrap = (s_lo == 0) & (s_hi == DOS - 1)
+    owner = np.where(wrap, DOS - 1, owner)
+    owner = np.where(s_hi < 0, 0, owner)          # pure axis edge
+    # neighbor-sector endpoints (owner's image plane) rotate back to the
+    # unit image block automatically via modular sector arithmetic
+    back = get_rotated_index(flines, (-owner[:, None]) % DOS, naxis, nxs,
+                             DOS)
+    back = np.sort(back, axis=1)
+    fkey = back[:, 0].astype(np.int64) * n_max + back[:, 1]
+    pos = np.searchsorted(ukey_s, fkey)
+    ok = (pos < len(ukey_s)) & (ukey_s[np.minimum(pos, len(ukey_s) - 1)]
+                                == fkey)
+    if not np.all(ok):
+        raise ValueError("full-annulus edge has no unit-cell counterpart — "
+                         "meshes are not an extend_mesh unit/full pair")
+    uidx = uorder[pos]
+    image_start = nred_ln              # image edges appended after reduced
+    is_image = uidx >= image_start
+    red_idx = np.where(is_image, naxis_ln + (uidx - image_start), uidx)
+    ph = np.where(uidx < naxis_ln, np.ones_like(phases[0]),
+                  phases[np.where(is_image, owner + 1, owner)])
+    return np.concatenate([v, vec[npt_red + red_idx] * ph])
 
 
 __all__ = ["extend_mesh", "bloch_expand", "three_points_to_plane",

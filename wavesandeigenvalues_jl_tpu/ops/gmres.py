@@ -131,17 +131,24 @@ def gmres_impl(matvec: Callable, b: jnp.ndarray,
     tol_r = jnp.asarray(tol, rdtype)
 
     def cond(state):
-        x, it, res = state
-        return jnp.logical_and(it < max_restarts, res > tol_r)
+        x, it, res, prev = state
+        # stop on convergence, budget, or stagnation (< 10% progress per
+        # restart — at the dtype's attainable accuracy more restarts only
+        # burn matvecs; callers recover precision by refinement)
+        return jnp.logical_and(
+            jnp.logical_and(it < max_restarts, res > tol_r),
+            res < 0.9 * prev)
 
     def step(state):
-        x, it, _ = state
+        x, it, res, _ = state
         x = arnoldi_cycle(x)
-        res = vnorm(b - matvec(x)) / bnorm
-        return (x, it + 1, res)
+        res_new = vnorm(b - matvec(x)) / bnorm
+        return (x, it + 1, res_new, res)
 
     res0 = vnorm(b - matvec(x0)) / bnorm
-    x, its, res = jax.lax.while_loop(cond, step, (x0, jnp.array(0), res0))
+    inf0 = jnp.asarray(jnp.inf, rdtype)
+    x, its, res, _ = jax.lax.while_loop(cond, step,
+                                        (x0, jnp.array(0), res0, inf0))
     return x, res, its
 
 

@@ -22,6 +22,11 @@ import jax
 
 # Enable x64 so the CPU path matches the reference's ComplexF64 semantics.
 jax.config.update("jax_enable_x64", True)
+# TPU matmuls default to bfloat16 MXU passes — that destroys Gram-Schmidt
+# orthogonality inside GMRES (relres stalls ~1) and the accuracy of every
+# coefficient contraction.  This is a numerics framework: full f32 matmul
+# precision everywhere (kernels that want bf16 opt in explicitly).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 
