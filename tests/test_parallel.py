@@ -131,3 +131,21 @@ def test_beyn_sharded_fem_partition_invariance():
     f_dist = np.sort(Om_dist.real) / 2 / np.pi
     assert len(f_host) == len(f_dist)
     assert np.allclose(f_host, f_dist, atol=1e-6)
+
+
+def test_weak_scaling_harness():
+    """Weak-scaling record format (BASELINE.json scaling-efficiency axis):
+    correctness-verified distributed SpMV at 1/2/4/8 virtual devices.
+    CPU timings are noisy — the records and their invariants are asserted,
+    not the trend (the real pod run is the same call on a bigger mesh)."""
+    from wavesandeigenvalues_jl_tpu.parallel.scaling import \
+        spmv_scaling_report
+
+    recs = spmv_scaling_report(device_counts=(1, 2, 4, 8),
+                               rows_per_device=512, reps=5)
+    assert [r["n_devices"] for r in recs] == [1, 2, 4, 8]
+    for r in recs:
+        assert r["rows"] == 512 * r["n_devices"]
+        assert r["nnz_per_s"] > 0
+        assert 0 < r["efficiency_vs_1"]
+    assert recs[0]["efficiency_vs_1"] == 1.0

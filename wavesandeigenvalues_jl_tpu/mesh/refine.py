@@ -110,4 +110,36 @@ def octosplit(mesh: Mesh) -> Mesh:
                          name=mesh.name + "(octosplit)", file=mesh.file)
 
 
-__all__ = ["octosplit"]
+def p1_prolongation(coarse: Mesh):
+    """P1 interpolation COO from ``coarse`` onto its :func:`octosplit`
+    child: fine point i < n_c IS coarse point i; fine point n_c + e is the
+    midpoint of coarse edge e, interpolated as the average of its two
+    endpoints.  Returns ``(rows, cols, vals, (n_fine, n_coarse))`` — the
+    geometric transfer operator of the two-grid preconditioner
+    (ops/panel_solve.CoarseGrid); compose across levels with
+    :func:`compose_prolongations`."""
+    coarse.collect_lines()
+    n_c = coarse.n_points
+    ln = np.asarray(coarse.lines)
+    n_f = n_c + len(ln)
+    e = np.arange(len(ln), dtype=np.int64)
+    rows = np.concatenate([np.arange(n_c), n_c + e, n_c + e])
+    cols = np.concatenate([np.arange(n_c), ln[:, 0], ln[:, 1]])
+    vals = np.concatenate([np.ones(n_c), np.full(2 * len(ln), 0.5)])
+    return rows, cols, vals, (n_f, n_c)
+
+
+def compose_prolongations(P_fine, P_coarse):
+    """Compose two :func:`p1_prolongation` COOs (finest-level first):
+    returns the COO of P_fine @ P_coarse mapping the coarsest level
+    directly to the finest."""
+    import scipy.sparse as sp
+    r1, c1, v1, s1 = P_fine
+    r2, c2, v2, s2 = P_coarse
+    M = (sp.coo_matrix((v1, (r1, c1)), shape=s1)
+         @ sp.coo_matrix((v2, (r2, c2)), shape=s2)).tocoo()
+    return (M.row.astype(np.int64), M.col.astype(np.int64),
+            M.data, M.shape)
+
+
+__all__ = ["octosplit", "p1_prolongation", "compose_prolongations"]

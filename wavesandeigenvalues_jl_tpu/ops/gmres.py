@@ -93,12 +93,21 @@ def gmres_impl(matvec: Callable, b: jnp.ndarray,
         def body(j, carry):
             V, H, cs, sn, g = carry
             w = matvec(Minv(V[j]))
-            # modified Gram-Schmidt (one pass; fixed shape over all m+1
-            # rows, rows > j are zero so the dots vanish)
-            h = reduce_(jnp.einsum("kn,n->k", jnp.conj(V), w))
+            # classical Gram-Schmidt WITH re-orthogonalization (CGS2):
+            # one-pass CGS loses orthogonality like ε·κ², flooring the
+            # attainable residual near √ε — at float32 that is ~1e-4,
+            # which poisons both convergence and the refinement loop
+            # built on top.  The second projection restores orthogonality
+            # to O(ε) for one extra fused einsum per iteration.  (Fixed
+            # shape over all m+1 rows; rows > j are zero so dots vanish.)
             mask = (jnp.arange(m + 1) <= j)
-            h = jnp.where(mask, h, czero)
-            w = w - jnp.einsum("k,kn->n", h, V)
+            h1 = reduce_(jnp.einsum("kn,n->k", jnp.conj(V), w))
+            h1 = jnp.where(mask, h1, czero)
+            w = w - jnp.einsum("k,kn->n", h1, V)
+            h2 = reduce_(jnp.einsum("kn,n->k", jnp.conj(V), w))
+            h2 = jnp.where(mask, h2, czero)
+            w = w - jnp.einsum("k,kn->n", h2, V)
+            h = h1 + h2
             hn = vnorm(w)
             V2 = V.at[j + 1].set(w / jnp.where(hn == 0, rone, hn))
             Hcol = h.at[j + 1].set(hn.astype(dtype))

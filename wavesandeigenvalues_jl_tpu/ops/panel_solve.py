@@ -9,11 +9,13 @@ solved matrix-free:
 * the operator family evaluates on device as ``data = c @ values`` over
   the union-pattern stack (one tiny contraction per shift) — no dense
   materialization anywhere;
-* the per-shift LEFT block-Jacobi preconditioner is BUILT ON DEVICE from
-  the shifted data (scatter into [nb, bs, bs] diagonal blocks + one
-  batched ``jnp.linalg.inv``) — left, not right, because penalty-BC rows
-  (admittance Y~1e15) span ~16 orders of magnitude and must be normalized
-  out of the residual norm for single precision to converge;
+* the per-shift LEFT block-Jacobi preconditioner (and the optional
+  two-grid coarse inverse) are inverted on HOST at complex128 — device
+  factorizations (lu_factor/inv) lower to loop programs whose XLA:TPU
+  compile alone costs minutes — and applied on device as einsums/matmuls.
+  Left, not right, because penalty-BC rows (admittance Y~1e15) span ~16
+  orders of magnitude and must be normalized out of the residual norm
+  for single precision to converge;
 * GMRES(m) instances are vmapped over (shift × column) and chunked so the
   Krylov bases fit device memory at any problem size;
 * mixed-precision iterative refinement against exact complex128 host
@@ -46,45 +48,32 @@ def _planes(x, rdt):
             np.ascontiguousarray(x.imag).astype(rdt))
 
 
-@partial(jax.jit, static_argnames=("n", "nb", "bs", "restart",
-                                   "max_restarts"))
-def _panel_gmres(vr, vi, rows, cols, bsel, brow, bcol, nsel,
+@partial(jax.jit, static_argnames=("n", "restart", "max_restarts"))
+def _panel_gmres(vr, vi, rows, cols, dvr, dvi,
                  cr, ci, br, bi, tol,
-                 n: int, nb: int, bs: int, restart: int, max_restarts: int):
+                 n: int, restart: int, max_restarts: int):
     """One chunk of shifted panel solves.
 
     ``vr/vi``: [K, nnz] family value-stack planes (shared);
-    ``rows/cols``: [nnz] union-pattern structure; ``bsel/brow/bcol/nsel``:
-    diagonal-block scatter map (entries of the pattern that land in
-    [bs,bs] diagonal blocks); ``cr/ci``: [S, K] per-shift coefficient
+    ``rows/cols``: [nnz] union-pattern structure; ``dvr/dvi``:
+    [S, nb, bs, bs] HOST-inverted block-Jacobi planes (inverted at
+    complex128 on host — device linalg like lu_factor/inv lowers to huge
+    loop programs whose XLA:TPU compile alone costs minutes, while the
+    apply is just an einsum); ``cr/ci``: [S, K] per-shift coefficient
     planes; ``br/bi``: [S, l, n] RHS planes.  Returns solution planes
     [S, l, n] and preconditioned relative residuals [S, l]."""
     vals = jax.lax.complex(vr, vi)
 
-    def one_shift(c, B):
+    def one_shift(c, Dinv, B):
         data = c @ vals                                        # [nnz]
-        # device-built block-Jacobi: scatter diagonal blocks, invert.
-        # Rows are equilibrated BEFORE the inversion: penalty-BC rows
-        # (admittance Y~1e15) make κ(block)·ε_f32 ≫ 1, so a raw complex64
-        # inv is pure noise on TPU — κ of the equilibrated block is the
-        # intrinsic FEM conditioning and inverts fine in single precision.
-        D = (jnp.zeros((nb, bs, bs), data.dtype)
-             .at[bsel, brow, bcol].add(data[nsel]))
-        i = jnp.arange(bs)
-        diag = D[:, i, i]
-        D = D.at[:, i, i].set(jnp.where(jnp.abs(diag) == 0,
-                                        jnp.ones((), data.dtype), diag))
-        rmax = jnp.max(jnp.abs(D), axis=2)                     # [nb, bs]
-        rmax = jnp.where(rmax == 0, jnp.ones((), rmax.dtype), rmax)
-        Dinv = jnp.linalg.inv(D / rmax[:, :, None])
+        nb, bs = Dinv.shape[0], Dinv.shape[1]
         npad = nb * bs
-        rflat = rmax.reshape(-1)
 
         def spmv(x):
             return jnp.zeros(n, data.dtype).at[rows].add(data * x[cols])
 
         def dinv(v):
-            vp = jnp.zeros(npad, v.dtype).at[:n].set(v) / rflat
+            vp = jnp.zeros(npad, v.dtype).at[:n].set(v)
             out = jnp.einsum("bij,bj->bi", Dinv, vp.reshape(nb, bs))
             return out.reshape(-1)[:n]
 
@@ -97,8 +86,98 @@ def _panel_gmres(vr, vi, rows, cols, bsel, brow, bcol, nsel,
         return jax.vmap(one_col)(B)
 
     X, res = jax.vmap(one_shift)(jax.lax.complex(cr, ci),
+                                 jax.lax.complex(dvr, dvi),
                                  jax.lax.complex(br, bi))
     return jnp.real(X), jnp.imag(X), res
+
+
+@partial(jax.jit, static_argnames=("n", "nc", "restart", "max_restarts"))
+def _panel_gmres_tg(vr, vi, rows, cols, dvr, dvi,
+                    air, aii, prows, pcols, pvals,
+                    cr, ci, br, bi, tol,
+                    n: int, nc: int, restart: int, max_restarts: int):
+    """Two-grid-preconditioned variant of :func:`_panel_gmres`.
+
+    The LEFT preconditioner is one multiplicative two-grid cycle
+    pre-smooth -> coarse correction -> post-smooth:
+
+        y  = D^-1 v
+        y += P . A_c^-1 . P^T (v - A y)
+        y += D^-1 (v - A y)
+
+    with D^-1 the block-Jacobi smoother, P the geometric P1 interpolation
+    from the octosplit hierarchy (mesh/refine.p1_prolongation) and
+    A_c(z)^-1 the SAME operator family assembled on the coarse mesh and
+    inverted ONCE per shift on host at complex128 (``air/aii``
+    [S, nc, nc] planes) — the coarse correction is then a single MXU
+    matmul per application, with no triangular-solve loop programs to
+    compile.  This is what lets the matrix-free Beyn quadrature scale
+    past the plain block-Jacobi regime (~5x10^3 DOF) to the reference's
+    UMFPACK envelope (beyn.jl:62-74)."""
+    vals = jax.lax.complex(vr, vi)
+
+    def one_shift(c, Dinv, Acinv, B):
+        data = c @ vals
+        nb, bs = Dinv.shape[0], Dinv.shape[1]
+        npad = nb * bs
+
+        def spmv(x):
+            return jnp.zeros(n, data.dtype).at[rows].add(data * x[cols])
+
+        def dinv(v):
+            vp = jnp.zeros(npad, v.dtype).at[:n].set(v)
+            out = jnp.einsum("bij,bj->bi", Dinv, vp.reshape(nb, bs))
+            return out.reshape(-1)[:n]
+
+        pv = pvals.astype(data.dtype)
+
+        def P(vc):
+            return jnp.zeros(n, vc.dtype).at[prows].add(pv * vc[pcols])
+
+        def Pt(r):
+            return jnp.zeros(nc, r.dtype).at[pcols].add(pv * r[prows])
+
+        def minv(v):
+            y = dinv(v)
+            r = v - spmv(y)
+            y = y + P(Acinv @ Pt(r))
+            r = v - spmv(y)
+            return y + dinv(r)
+
+        def one_col(b):
+            x, res, _ = gmres_impl(lambda x: minv(spmv(x)), minv(b),
+                                   tol=tol, restart=restart,
+                                   max_restarts=max_restarts)
+            return x, res
+
+        return jax.vmap(one_col)(B)
+
+    X, res = jax.vmap(one_shift)(jax.lax.complex(cr, ci),
+                                 jax.lax.complex(dvr, dvi),
+                                 jax.lax.complex(air, aii),
+                                 jax.lax.complex(br, bi))
+    return jnp.real(X), jnp.imag(X), res
+
+
+class CoarseGrid:
+    """Geometric coarse level for the two-grid preconditioner: the SAME
+    operator family assembled on a coarser octosplit ancestor, plus the
+    P1 interpolation COO from :func:`..mesh.refine.p1_prolongation`
+    (possibly composed across several levels)."""
+
+    def __init__(self, coarse_family, prolongation):
+        rows, cols, vals, (n_f, n_c) = prolongation
+        Sc = coarse_family._stack()
+        if Sc.shape[0] != n_c:
+            raise ValueError(f"coarse family dim {Sc.shape[0]} != "
+                             f"prolongation n_coarse {n_c}")
+        self.n_fine, self.n_coarse = int(n_f), int(n_c)
+        self.values = Sc.values                        # [K, nnz_c] host
+        self.crows = np.asarray(Sc.row_ids(), np.int32)
+        self.ccols = np.asarray(Sc.indices, np.int32)
+        self.prows = np.asarray(rows, np.int32)
+        self.pcols = np.asarray(cols, np.int32)
+        self.pvals = np.asarray(vals, np.float64)
 
 
 class ShiftedPanelSolver:
@@ -113,8 +192,10 @@ class ShiftedPanelSolver:
     def __init__(self, family, bs: int = 64, tol: float = 1e-8,
                  restart: int = 60, max_restarts: int = 50,
                  chunk: Optional[int] = None,
-                 refine_sweeps: int = 4, refine_tol: float = 1e-11):
+                 refine_sweeps: int = 4, refine_tol: float = 1e-11,
+                 coarse: Optional[CoarseGrid] = None):
         self.family = family
+        self.coarse = coarse
         S = family._stack()
         self._stack_obj = S
         self.n = int(S.shape[0])
@@ -135,15 +216,13 @@ class ShiftedPanelSolver:
         self._csize = 8 if cdt == np.complex64 else 16
         rows = np.asarray(S.row_ids(), np.int64)
         cols = np.asarray(S.indices, np.int64)
+        self._rows64, self._cols64 = rows, cols
         self._rows32 = rows.astype(np.int32)
         self._cols32 = cols.astype(np.int32)
-        # diagonal-block scatter map (host, structure-only)
-        sel = (rows // bs) == (cols // bs)
-        self._nsel = np.where(sel)[0].astype(np.int32)
-        self._bsel = (rows[sel] // bs).astype(np.int32)
-        self._brow = (rows[sel] % bs).astype(np.int32)
-        self._bcol = (cols[sel] % bs).astype(np.int32)
         self._vr, self._vi = _planes(S.values, self._rdt)
+        if coarse is not None and coarse.n_fine != self.n:
+            raise ValueError(f"prolongation n_fine {coarse.n_fine} != "
+                             f"operator dim {self.n}")
         self._chunk = chunk
         # host-exact structure for refinement residuals
         import scipy.sparse as sp
@@ -174,8 +253,29 @@ class ShiftedPanelSolver:
     def _auto_chunk(self, l: int) -> int:
         per_instance = (self.restart + 1) * self.n * self._csize * 2
         per_shift = (self.nb * self.bs * self.bs + 2 * self.nnz) * self._csize
+        if self.coarse is not None:  # dense coarse inverse per shift
+            per_shift += 2 * self.coarse.n_coarse ** 2 * self._csize
         c = int(PANEL_BUDGET // (l * per_instance + per_shift))
         return max(1, c)
+
+    def _dinv_chunk(self, coeffs):
+        """[c, nb, bs, bs] complex128 host block-Jacobi inverses (device
+        linalg would cost minutes of XLA:TPU compile; this is milliseconds
+        of LAPACK)."""
+        from .gmres import _block_diag_inv
+        return np.stack([
+            _block_diag_inv(self._rows64, self._cols64,
+                            coeffs[j] @ self._values128, self.n, self.bs)
+            for j in range(coeffs.shape[0])])
+
+    def _acinv_chunk(self, coeffs):
+        """[c, nc, nc] complex128 host coarse-operator inverses."""
+        cg = self.coarse
+        nc = cg.n_coarse
+        A = np.zeros((coeffs.shape[0], nc, nc), np.complex128)
+        data = coeffs @ cg.values                      # [c, nnz_c]
+        A[:, cg.crows, cg.ccols] = data
+        return np.linalg.inv(A)
 
     # -- device passes -----------------------------------------------------
 
@@ -202,12 +302,24 @@ class ShiftedPanelSolver:
             if pad:  # fixed chunk shape -> one compiled program
                 c = np.concatenate([c, np.repeat(c[-1:], pad, 0)])
                 b = np.concatenate([b, np.repeat(b[-1:], pad, 0)])
-            Xr, Xi, r = _panel_gmres(
-                self._vr, self._vi, self._rows32, self._cols32,
-                self._bsel, self._brow, self._bcol, self._nsel,
-                *_planes(c, self._rdt), *_planes(b, self._rdt), tol,
-                n=self.n, nb=self.nb, bs=self.bs, restart=self.restart,
-                max_restarts=self.max_restarts)
+            Dinv = self._dinv_chunk(c)
+            if self.coarse is None:
+                Xr, Xi, r = _panel_gmres(
+                    self._vr, self._vi, self._rows32, self._cols32,
+                    *_planes(Dinv, self._rdt),
+                    *_planes(c, self._rdt), *_planes(b, self._rdt), tol,
+                    n=self.n, restart=self.restart,
+                    max_restarts=self.max_restarts)
+            else:
+                cg = self.coarse
+                Acinv = self._acinv_chunk(c)
+                Xr, Xi, r = _panel_gmres_tg(
+                    self._vr, self._vi, self._rows32, self._cols32,
+                    *_planes(Dinv, self._rdt), *_planes(Acinv, self._rdt),
+                    cg.prows, cg.pcols, cg.pvals.astype(self._rdt),
+                    *_planes(c, self._rdt), *_planes(b, self._rdt), tol,
+                    n=self.n, nc=cg.n_coarse,
+                    restart=self.restart, max_restarts=self.max_restarts)
             Xr, Xi, r = np.asarray(Xr), np.asarray(Xi), np.asarray(r)
             X[s0:s1] = (Xr.astype(np.float64)
                         + 1j * Xi.astype(np.float64))[:s1 - s0]
@@ -231,7 +343,17 @@ class ShiftedPanelSolver:
         l = Bfull.shape[1]
         coeffs = self.coefficients(zs)
         mats = [self._host_csr(coeffs[j]) for j in range(Sn)]
-        bnorm = np.linalg.norm(Bfull, axis=2)                    # [S, l]
+        # residuals are judged in the ROW-EQUILIBRATED norm ‖S(b−Ax)‖ with
+        # S = diag(1/maxⱼ|Aᵢⱼ|): penalty-BC rows (Y~1e15) otherwise
+        # dominate the plain norm by ~16 orders of magnitude, and the
+        # device GMRES minimizes exactly this scaled (left-preconditioned)
+        # residual — an unscaled acceptance test would reject every
+        # correction the device path can produce
+        srow = np.empty((Sn, self.n))
+        for j in range(Sn):
+            rm = np.abs(mats[j]).max(axis=1).toarray().ravel()
+            srow[j] = 1.0 / np.where(rm == 0, 1.0, rm)
+        bnorm = np.linalg.norm(Bfull * srow[:, None, :], axis=2)  # [S, l]
         bnorm = np.where(bnorm == 0, 1.0, bnorm)
 
         best, _ = self._solve_chunks(coeffs, Bfull)
@@ -239,7 +361,7 @@ class ShiftedPanelSolver:
         R = np.empty_like(Bfull)
         for j in range(Sn):  # exact c128 residuals
             R[j] = Bfull[j] - (mats[j] @ best[j].T).T
-            best_res[j] = np.linalg.norm(R[j], axis=1) / bnorm[j]
+            best_res[j] = np.linalg.norm(R[j] * srow[j], axis=1) / bnorm[j]
         prev_max = np.inf
         for sweep in range(self.refine_sweeps):
             live = np.where(np.any(best_res > self.refine_tol, axis=1))[0]
@@ -257,7 +379,7 @@ class ShiftedPanelSolver:
             # accept per-column only if the exact residual improved
             for i, j in enumerate(live):
                 Rc = Bfull[j] - (mats[j] @ cand[i].T).T
-                rc = np.linalg.norm(Rc, axis=1) / bnorm[j]
+                rc = np.linalg.norm(Rc * srow[j], axis=1) / bnorm[j]
                 upd = rc < best_res[j]
                 best[j][upd] = cand[i][upd]
                 best_res[j][upd] = rc[upd]
@@ -272,4 +394,5 @@ def solve_shifted_panel(family, zs, V, **kw):
     return ShiftedPanelSolver(family, **kw).solve(zs, V, output=output)
 
 
-__all__ = ["ShiftedPanelSolver", "solve_shifted_panel", "PANEL_BUDGET"]
+__all__ = ["ShiftedPanelSolver", "solve_shifted_panel", "CoarseGrid",
+           "PANEL_BUDGET"]

@@ -1,0 +1,100 @@
+"""Weak-scaling measurement harness for the distributed SpMV.
+
+BASELINE.json asks for "nnz/s scaling efficiency reported at 1 chip,
+1 host, and N ≥ 2 hosts".  The reference has no distributed layer to
+compare against (SURVEY §2.9); this harness measures OUR row-sharded
+halo-exchange SpMV at increasing device counts with a FIXED per-device
+workload (weak scaling) and emits one record per device count:
+
+    {"n_devices", "rows", "nnz", "wall_s_per_apply", "nnz_per_s",
+     "nnz_per_s_per_device", "efficiency_vs_1"}
+
+On the virtual CPU mesh the numbers validate the *harness* and the trend;
+on a real pod slice the same call (bigger mesh) produces the reportable
+figures — a config change, not new code.
+"""
+from __future__ import annotations
+
+import time
+from typing import List, Sequence
+
+import numpy as np
+
+from ..ops.sparse import CSR
+from .dist_spmv import make_dist_spmv
+from .partition import partition_rows
+
+
+def _banded_operator(n: int, band: int = 31, seed: int = 0) -> CSR:
+    """FEM-like banded complex operator (bandwidth ~ a CMK-reordered
+    tetrahedral P1 stiffness)."""
+    rng = np.random.default_rng(seed)
+    offs = np.arange(-(band // 2), band // 2 + 1)
+    rows_l, cols_l, vals_l = [], [], []
+    for k in offs:
+        m = n - abs(k)
+        r = np.arange(max(0, -k), max(0, -k) + m)
+        vals = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+        if k == 0:
+            vals += band  # diagonally dominant-ish
+        rows_l.append(r)
+        cols_l.append(r + k)
+        vals_l.append(vals)
+    return CSR.from_coo(np.concatenate(rows_l), np.concatenate(cols_l),
+                        np.concatenate(vals_l), (n, n))
+
+
+def spmv_scaling_report(device_counts: Sequence[int] = (1, 2, 4, 8),
+                        rows_per_device: int = 4096, band: int = 31,
+                        reps: int = 50, verify: bool = True) -> List[dict]:
+    """Weak-scaling records for the distributed halo-exchange SpMV.
+
+    Each device count P gets its own (P·rows_per_device)-row operator and
+    its own P-device mesh; throughput is the best-of-3 amortized apply
+    time.  ``efficiency_vs_1`` is per-device throughput normalized by the
+    1-device figure (the ≥70% multi-host criterion of BASELINE.json)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    out: List[dict] = []
+    base = None
+    for P in device_counts:
+        if P > len(devs):
+            continue
+        n = P * rows_per_device
+        A = _banded_operator(n, band=band)
+        part = partition_rows(A, P, reorder=False)
+        mesh = Mesh(np.array(devs[:P]), ("row",))
+        spmv, shard, unshard = make_dist_spmv(part, mesh)
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        xs = shard(x)
+        y = spmv(xs)
+        jax.block_until_ready(y)
+        if verify:
+            err = np.linalg.norm(unshard(y) - A @ x) / np.linalg.norm(A @ x)
+            assert err < 1e-10, f"dist SpMV wrong at P={P}: {err}"
+        dt = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                y = spmv(xs)
+            jax.block_until_ready(y)
+            dt = min(dt, (time.perf_counter() - t0) / reps)
+        rec = {
+            "n_devices": int(P),
+            "rows": int(n),
+            "nnz": int(A.nnz),
+            "wall_s_per_apply": float(dt),
+            "nnz_per_s": float(A.nnz / dt),
+            "nnz_per_s_per_device": float(A.nnz / dt / P),
+        }
+        if base is None:
+            base = rec["nnz_per_s_per_device"]
+        rec["efficiency_vs_1"] = float(rec["nnz_per_s_per_device"] / base)
+        out.append(rec)
+    return out
+
+
+__all__ = ["spmv_scaling_report"]
