@@ -149,3 +149,18 @@ def test_weak_scaling_harness():
         assert r["nnz_per_s"] > 0
         assert 0 < r["efficiency_vs_1"]
     assert recs[0]["efficiency_vs_1"] == 1.0
+
+
+def test_dist_spmm_panel(row_mesh):
+    """Row-sharded multi-RHS SpMM: one halo ppermute moves the whole
+    panel (SURVEY §2.9 #3 — the Beyn probe / block-Arnoldi axis)."""
+    from wavesandeigenvalues_jl_tpu.parallel.dist_spmv import make_dist_spmm
+
+    A = banded_matrix(193, seed=5, band=11)
+    Acsr = CSR.from_dense(A)
+    part = partition_rows(Acsr, row_mesh.shape["row"])
+    spmm, shard, unshard = make_dist_spmm(part, row_mesh)
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((193, 6)) + 1j * rng.standard_normal((193, 6))
+    Y = unshard(spmm(shard(X)))
+    assert np.allclose(Y, A @ X, atol=1e-11)

@@ -49,7 +49,7 @@ def _planes(x, rdt):
 
 
 @partial(jax.jit, static_argnames=("n", "restart", "max_restarts"))
-def _panel_gmres(vr, vi, rows, cols, dvr, dvi,
+def _panel_gmres(vr, vi, ecols, egather, dvr, dvi,
                  cr, ci, br, bi, tol,
                  n: int, restart: int, max_restarts: int):
     """One chunk of shifted panel solves.
@@ -66,11 +66,15 @@ def _panel_gmres(vr, vi, rows, cols, dvr, dvi,
 
     def one_shift(c, Dinv, B):
         data = c @ vals                                        # [nnz]
+        # pack to padded ELL once per shift: the SpMV becomes gather +
+        # multiply + row-reduce (a batched scatter under a wide vmap
+        # serializes on TPU; the gather form vectorizes)
+        dell = jnp.concatenate([data, jnp.zeros(1, data.dtype)])[egather]
         nb, bs = Dinv.shape[0], Dinv.shape[1]
         npad = nb * bs
 
         def spmv(x):
-            return jnp.zeros(n, data.dtype).at[rows].add(data * x[cols])
+            return jnp.sum(dell * x[ecols], axis=1)
 
         def dinv(v):
             vp = jnp.zeros(npad, v.dtype).at[:n].set(v)
@@ -92,8 +96,8 @@ def _panel_gmres(vr, vi, rows, cols, dvr, dvi,
 
 
 @partial(jax.jit, static_argnames=("n", "nc", "restart", "max_restarts"))
-def _panel_gmres_tg(vr, vi, rows, cols, dvr, dvi,
-                    air, aii, prows, pcols, pvals,
+def _panel_gmres_tg(vr, vi, ecols, egather, dvr, dvi,
+                    air, aii, pell_cols, pell_vals, ptell_cols, ptell_vals,
                     cr, ci, br, bi, tol,
                     n: int, nc: int, restart: int, max_restarts: int):
     """Two-grid-preconditioned variant of :func:`_panel_gmres`.
@@ -118,24 +122,26 @@ def _panel_gmres_tg(vr, vi, rows, cols, dvr, dvi,
 
     def one_shift(c, Dinv, Acinv, B):
         data = c @ vals
+        dell = jnp.concatenate([data, jnp.zeros(1, data.dtype)])[egather]
         nb, bs = Dinv.shape[0], Dinv.shape[1]
         npad = nb * bs
 
         def spmv(x):
-            return jnp.zeros(n, data.dtype).at[rows].add(data * x[cols])
+            return jnp.sum(dell * x[ecols], axis=1)
 
         def dinv(v):
             vp = jnp.zeros(npad, v.dtype).at[:n].set(v)
             out = jnp.einsum("bij,bj->bi", Dinv, vp.reshape(nb, bs))
             return out.reshape(-1)[:n]
 
-        pv = pvals.astype(data.dtype)
+        pv = pell_vals.astype(data.dtype)
+        ptv = ptell_vals.astype(data.dtype)
 
-        def P(vc):
-            return jnp.zeros(n, vc.dtype).at[prows].add(pv * vc[pcols])
+        def P(vc):      # prolongation, ELL-gather form [n, wp]
+            return jnp.sum(pv * vc[pell_cols], axis=1)
 
-        def Pt(r):
-            return jnp.zeros(nc, r.dtype).at[pcols].add(pv * r[prows])
+        def Pt(r):      # restriction = Pᵀ, ELL-gather form [nc, wr]
+            return jnp.sum(ptv * r[ptell_cols], axis=1)
 
         def minv(v):
             y = dinv(v)
@@ -166,6 +172,9 @@ class CoarseGrid:
     (possibly composed across several levels)."""
 
     def __init__(self, coarse_family, prolongation):
+        import scipy.sparse as sp
+
+        from .sparse import csr_to_ell
         rows, cols, vals, (n_f, n_c) = prolongation
         Sc = coarse_family._stack()
         if Sc.shape[0] != n_c:
@@ -173,11 +182,18 @@ class CoarseGrid:
                              f"prolongation n_coarse {n_c}")
         self.n_fine, self.n_coarse = int(n_f), int(n_c)
         self.values = Sc.values                        # [K, nnz_c] host
-        self.crows = np.asarray(Sc.row_ids(), np.int32)
-        self.ccols = np.asarray(Sc.indices, np.int32)
-        self.prows = np.asarray(rows, np.int32)
-        self.pcols = np.asarray(cols, np.int32)
-        self.pvals = np.asarray(vals, np.float64)
+        self.crows = np.asarray(Sc.row_ids(), np.int64)
+        self.ccols = np.asarray(Sc.indices, np.int64)
+        # transfer operators in padded-ELL gather form (P and Pᵀ):
+        # padded slots carry zero values, so their column index 0 is inert
+        Pm = sp.coo_matrix((vals, (rows, cols)), shape=(n_f, n_c)).tocsr()
+        pc, pg, _ = csr_to_ell(Pm.indptr, Pm.indices, n_c)
+        self.pell_cols = pc.astype(np.int32)
+        self.pell_vals = np.concatenate([Pm.data, [0.0]])[pg]
+        Pt = Pm.T.tocsr()
+        tc, tg, _ = csr_to_ell(Pt.indptr, Pt.indices, n_f)
+        self.ptell_cols = tc.astype(np.int32)
+        self.ptell_vals = np.concatenate([Pt.data, [0.0]])[tg]
 
 
 class ShiftedPanelSolver:
@@ -217,8 +233,10 @@ class ShiftedPanelSolver:
         rows = np.asarray(S.row_ids(), np.int64)
         cols = np.asarray(S.indices, np.int64)
         self._rows64, self._cols64 = rows, cols
-        self._rows32 = rows.astype(np.int32)
-        self._cols32 = cols.astype(np.int32)
+        from .sparse import csr_to_ell
+        ecols, egather, _ = csr_to_ell(S.indptr, S.indices, self.n)
+        self._ecols = ecols.astype(np.int32)
+        self._egather = egather.astype(np.int32)
         self._vr, self._vi = _planes(S.values, self._rdt)
         if coarse is not None and coarse.n_fine != self.n:
             raise ValueError(f"prolongation n_fine {coarse.n_fine} != "
@@ -305,7 +323,7 @@ class ShiftedPanelSolver:
             Dinv = self._dinv_chunk(c)
             if self.coarse is None:
                 Xr, Xi, r = _panel_gmres(
-                    self._vr, self._vi, self._rows32, self._cols32,
+                    self._vr, self._vi, self._ecols, self._egather,
                     *_planes(Dinv, self._rdt),
                     *_planes(c, self._rdt), *_planes(b, self._rdt), tol,
                     n=self.n, restart=self.restart,
@@ -314,9 +332,10 @@ class ShiftedPanelSolver:
                 cg = self.coarse
                 Acinv = self._acinv_chunk(c)
                 Xr, Xi, r = _panel_gmres_tg(
-                    self._vr, self._vi, self._rows32, self._cols32,
+                    self._vr, self._vi, self._ecols, self._egather,
                     *_planes(Dinv, self._rdt), *_planes(Acinv, self._rdt),
-                    cg.prows, cg.pcols, cg.pvals.astype(self._rdt),
+                    cg.pell_cols, cg.pell_vals.astype(self._rdt),
+                    cg.ptell_cols, cg.ptell_vals.astype(self._rdt),
                     *_planes(c, self._rdt), *_planes(b, self._rdt), tol,
                     n=self.n, nc=cg.n_coarse,
                     restart=self.restart, max_restarts=self.max_restarts)
