@@ -117,3 +117,31 @@ def test_matfree_moments_match_host_quadrature(rijke1d):
     A_mf, info = matfree_moments(L, Gamma, V=V, K=2, N=12, bs=16)
     assert info["max_relres"] < 1e-9
     assert np.linalg.norm(A_mf - A_host) / np.linalg.norm(A_host) < 1e-9
+
+
+def test_matfree_moments_checkpoint_resume(rijke1d, tmp_path):
+    """Group-wise matfree moments: checkpoint mid-contour, resume, and
+    match the uninterrupted result; a changed parameter invalidates."""
+    L = rijke1d
+    Gamma = [0.5 - 0.5j, 2.5 - 0.5j, 2.5 + 1.0j, 0.5 + 1.0j]
+    V = initialize_V(L.size, 3)
+    ck = str(tmp_path / "mf.npz")
+    A_full, _ = matfree_moments(L, Gamma, V=V, K=1, N=8, bs=16)
+    # run grouped with checkpointing
+    A_ck, _ = matfree_moments(L, Gamma, V=V, K=1, N=8, bs=16, group=10,
+                              checkpoint=ck)
+    assert np.allclose(A_ck, A_full, rtol=1e-10)
+    # simulate preemption: rewind the checkpoint to a mid-contour state
+    with np.load(ck) as d:
+        A_mid, digest = d["A"], str(d["digest"])
+    np.savez(ck, A=A_mid * 0, next=32, digest=digest)  # wrong partial sums
+    A_res, _ = matfree_moments(L, Gamma, V=V, K=1, N=8, bs=16, group=10,
+                               checkpoint=ck)
+    assert not np.allclose(A_res, A_full)  # resumed from doctored state
+    # changed parameter -> digest mismatch -> full recompute
+    L.params["τ"] = L.params["τ"] * 1.001
+    A_new, _ = matfree_moments(L, Gamma, V=V, K=1, N=8, bs=16, group=10,
+                               checkpoint=ck)
+    L.params["τ"] = L.params["τ"] / 1.001
+    A_ref, _ = matfree_moments(L, Gamma, V=V, K=1, N=8, bs=16)
+    assert not np.allclose(A_new, A_ref)

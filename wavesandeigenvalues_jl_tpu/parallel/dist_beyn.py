@@ -53,12 +53,24 @@ DENSE_BEYN_MAX_DIM = 4096
 
 
 def matfree_moments(L: OperatorFamily, Gamma, V=None, l=5, K=1, N=16,
-                    output=False, **solver_kw):
+                    output=False, group: Optional[int] = None,
+                    checkpoint: Optional[str] = None, **solver_kw):
     """Moment matrices via the matrix-free device panel solver — the
     scalable path (no [d,d] materialization anywhere; see
     :mod:`..ops.panel_solve`).  Solver keywords (``bs``, ``tol``,
-    ``restart``, ``chunk``, …) pass through to
-    :class:`..ops.panel_solve.ShiftedPanelSolver`."""
+    ``restart``, ``chunk``, ``coarse``, …) pass through to
+    :class:`..ops.panel_solve.ShiftedPanelSolver`.
+
+    Nodes are processed in groups of ``group`` shifts (default: the
+    solver chunk) and reduced into the moment sums immediately, bounding
+    host memory to one group of solutions.  ``checkpoint``: optional npz
+    path — partial moment sums persist after every group and a preempted
+    contour integration resumes at the last completed group (digest over
+    contour, probe block, K and the family's parameters/terms, matching
+    nlevp.solvers.compute_moment_matrices)."""
+    import hashlib
+    import os
+
     from ..nlevp.solvers import initialize_V
     from ..ops.panel_solve import ShiftedPanelSolver
     d = L.size
@@ -67,11 +79,49 @@ def matfree_moments(L: OperatorFamily, Gamma, V=None, l=5, K=1, N=16,
     V = np.asarray(V)
     d, l = V.shape
     zs, ws = gauss_nodes(Gamma, N)
+    B = len(zs)
     solver = ShiftedPanelSolver(L, **solver_kw)
-    X, info = solver.solve(zs, V, output=output)          # [B, d, l]
+    g = group or solver._chunk or solver._auto_chunk(l)
     powers = ws[:, None] * zs[:, None] ** np.arange(2 * K)[None, :]
-    A = np.einsum("bp,bil->ilp", powers, X)
-    return A.astype(np.complex128), info
+    A = np.zeros((d, l, 2 * K), np.complex128)
+    start = 0
+    digest = ""
+    if checkpoint:
+        h = hashlib.sha256()
+        for part in (zs.tobytes(), ws.tobytes(), V.tobytes(),
+                     str(K).encode()):
+            h.update(part)
+        h.update(repr(sorted((str(k), complex(v))
+                             for k, v in L.params.items()
+                             if k not in (L.eigval, L.auxval))).encode())
+        for t in L.terms:
+            h.update(t.symbol.encode())
+            h.update(str(t.params).encode())
+            h.update(np.ascontiguousarray(t.coeff.data).tobytes())
+        digest = h.hexdigest()
+        if os.path.exists(checkpoint):
+            with np.load(checkpoint, allow_pickle=False) as ck:
+                if str(ck["digest"]) == digest:
+                    A = ck["A"]
+                    start = int(ck["next"])
+                    if output:
+                        print(f"resuming matfree moments at node "
+                              f"{start}/{B}")
+                elif output:
+                    print("checkpoint digest mismatch — recomputing")
+    max_relres = 0.0
+    for s0 in range(start, B, g):
+        s1 = min(s0 + g, B)
+        X, info = solver.solve(zs[s0:s1], V, output=output)   # [g, d, l]
+        max_relres = max(max_relres, info["max_relres"])
+        A += np.einsum("bp,bil->ilp", powers[s0:s1], X)
+        if checkpoint:
+            tmp = checkpoint + ".tmp.npz"
+            np.savez(tmp, A=A, next=s1, digest=digest)
+            os.replace(tmp, checkpoint)
+        if output:
+            print(f"matfree moments: nodes {s1}/{B} done")
+    return A.astype(np.complex128), {"max_relres": max_relres}
 
 
 def batched_moments(L: OperatorFamily, Gamma, V=None, l=5, K=1, N=16,
