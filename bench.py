@@ -129,8 +129,12 @@ def main():
     sweep = {}
     best = None
     for bs in (16, 32, 64, 128):
-        bsr = BsrOperator.from_csr(Ar, bs=bs)
-        dt, applier = time_bsr(bsr, use_pallas, NRHS, X, jax)
+        try:
+            bsr = BsrOperator.from_csr(Ar, bs=bs)
+            dt, applier = time_bsr(bsr, use_pallas, NRHS, X, jax)
+        except Exception as e:  # e.g. Mosaic tiling limits at small bs
+            sweep[bs] = {"bs": bs, "error": f"{type(e).__name__}: {e}"}
+            continue
         nnz_blocks = int(np.count_nonzero(bsr.block_mask))
         rec = {
             "bs": bs,
@@ -151,6 +155,8 @@ def main():
             best = bs
             best_applier = applier
             best_bsr = bsr
+    if best is None:
+        raise RuntimeError(f"every BSR block size failed: {sweep}")
     dt = sweep[best]["ms_per_apply"] * 1e-3
     device_nnz_per_s = sweep[best]["nnz_per_s"]
 
