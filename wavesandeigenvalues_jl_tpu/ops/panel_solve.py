@@ -196,6 +196,16 @@ class CoarseGrid:
         self.ptell_vals = np.concatenate([Pt.data, [0.0]])[tg]
 
 
+def acinv_batch(cg: "CoarseGrid", coeffs: np.ndarray) -> np.ndarray:
+    """[S, nc, nc] complex128 host inverses of the coarse operator at
+    each shift's coefficient vector (one batched LAPACK inversion)."""
+    nc = cg.n_coarse
+    A = np.zeros((coeffs.shape[0], nc, nc), np.complex128)
+    data = np.asarray(coeffs, np.complex128) @ cg.values    # [S, nnz_c]
+    A[:, cg.crows, cg.ccols] = data
+    return np.linalg.inv(A)
+
+
 class ShiftedPanelSolver:
     """Matrix-free device solver for L(z) X = B panels at many shifts.
 
@@ -288,12 +298,7 @@ class ShiftedPanelSolver:
 
     def _acinv_chunk(self, coeffs):
         """[c, nc, nc] complex128 host coarse-operator inverses."""
-        cg = self.coarse
-        nc = cg.n_coarse
-        A = np.zeros((coeffs.shape[0], nc, nc), np.complex128)
-        data = coeffs @ cg.values                      # [c, nnz_c]
-        A[:, cg.crows, cg.ccols] = data
-        return np.linalg.inv(A)
+        return acinv_batch(self.coarse, coeffs)
 
     # -- device passes -----------------------------------------------------
 
@@ -414,4 +419,4 @@ def solve_shifted_panel(family, zs, V, **kw):
 
 
 __all__ = ["ShiftedPanelSolver", "solve_shifted_panel", "CoarseGrid",
-           "PANEL_BUDGET"]
+           "acinv_batch", "PANEL_BUDGET"]

@@ -72,10 +72,16 @@ def make_dist_gmres(part: RowPartitionedEll, mesh: Mesh,
                     row_axis: str = "row",
                     shift_axis: Optional[str] = None, bs: int = 32,
                     tol: float = 1e-10, restart: int = 80,
-                    max_restarts: int = 40, dtype=None):
+                    max_restarts: int = 40, dtype=None, coarse=None):
     # NB restart length matters more than block-Jacobi block size on the
     # indefinite Helmholtz operators: GMRES(40) stagnates at ~3e-2 where
-    # GMRES(80) reaches 1e-13 (437-DOF Rijke, Y=1e15 outlet)
+    # GMRES(80) reaches 1e-13 (437-DOF Rijke, Y=1e15 outlet).
+    # ``coarse``: optional ops.panel_solve.CoarseGrid — adds the geometric
+    # two-grid coarse correction INSIDE the row-sharded GMRES: the
+    # restriction Pᵀr psum-reduces the shards' owned-row contributions,
+    # the replicated coarse inverse applies as one matmul per device, and
+    # the prolongation back is shard-local (each shard interpolates only
+    # its own fine rows)
     """Build the jitted (shift × row)-sharded GMRES panel solve.
 
     Returns ``solve(coeffs, B) -> (X, res)`` taking HOST arrays
@@ -149,6 +155,83 @@ def make_dist_gmres(part: RowPartitionedEll, mesh: Mesh,
             jax.lax.complex(br, bi)[:, :, 0])
         return jnp.real(X)[:, :, None], jnp.imag(X)[:, :, None], res
 
+    if coarse is not None:
+        nc = coarse.n_coarse
+        if coarse.n_fine != part.n:
+            raise ValueError("prolongation n_fine != operator dim")
+        # prolongation rows permuted into partition order, padded per part
+        wp = coarse.pell_cols.shape[1]
+        pcl_h = np.zeros((Pn * m, wp), np.int32)
+        pvl_h = np.zeros((Pn * m, wp), np.float64)
+        pcl_h[:part.n] = coarse.pell_cols[part.perm]
+        pvl_h[:part.n] = np.real(coarse.pell_vals[part.perm])
+        pcl_h = pcl_h.reshape(Pn, m, wp)
+        pvl_h = pvl_h.reshape(Pn, m, wp).astype(rdt)
+
+        @jax.jit
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(None, row_axis, None, None),
+                           P(None, row_axis, None, None),
+                           P(row_axis, None, None),
+                           P(row_axis, None, None), P(row_axis, None, None),
+                           shift_spec(), shift_spec(),
+                           shift_spec(row_axis, None, None, None),
+                           shift_spec(row_axis, None, None, None),
+                           shift_spec(None, None), shift_spec(None, None),
+                           shift_spec(None, row_axis, None),
+                           shift_spec(None, row_axis, None)),
+                 out_specs=(shift_spec(None, row_axis, None),
+                            shift_spec(None, row_axis, None),
+                            shift_spec(None)),
+                 check_vma=False)
+        def _solve_tg(vr, vi, cols, pcl, pvl, cr, ci, dvr, dvi, air, aii,
+                      br, bi):
+            vals = jax.lax.complex(vr, vi)[:, 0]          # [K, m, w]
+            cloc = cols[0]
+            pcl_l = pcl[0]                                # [m, wp]
+            pvl_l = pvl[0]
+
+            def per_shift(c, Dinv, Acinv, Bl):
+                data = jnp.tensordot(c, vals, axes=(0, 0))
+                pv = pvl_l.astype(data.dtype)
+
+                def matvec(x):
+                    x_ext = halo_exchange(x, halo, row_axis)
+                    return local_spmv(data, cloc, x_ext)
+
+                def dinv(v):
+                    vp = jnp.zeros(npad, v.dtype).at[:m].set(v)
+                    out = jnp.einsum("bij,bj->bi", Dinv,
+                                     vp.reshape(nb, bs))
+                    return out.reshape(-1)[:m]
+
+                def minv(v):
+                    y = dinv(v)
+                    r = v - matvec(y)
+                    # restriction: psum of the shards' owned-row parts
+                    rc = jax.lax.psum(
+                        jnp.zeros(nc, r.dtype).at[pcl_l.reshape(-1)].add(
+                            (pv * r[:, None]).reshape(-1)), row_axis)
+                    vc = Acinv @ rc                       # replicated
+                    y = y + jnp.sum(pv * vc[pcl_l], axis=1)
+                    r = v - matvec(y)
+                    return y + dinv(r)
+
+                def one_col(b):
+                    x, res, _ = gmres_impl(
+                        lambda x: minv(matvec(x)), minv(b), tol=tol,
+                        restart=restart, max_restarts=max_restarts,
+                        reduce_fn=lambda s: jax.lax.psum(s, row_axis))
+                    return x, res
+                return jax.vmap(one_col)(Bl)
+
+            X, res = jax.vmap(per_shift)(
+                jax.lax.complex(cr, ci),
+                jax.lax.complex(dvr, dvi)[:, 0],
+                jax.lax.complex(air, aii),
+                jax.lax.complex(br, bi)[:, :, 0])
+            return jnp.real(X)[:, :, None], jnp.imag(X)[:, :, None], res
+
     def solve(coeffs, B):
         coeffs = np.asarray(coeffs, np.complex128)
         B = np.asarray(B, np.complex128)
@@ -156,10 +239,19 @@ def make_dist_gmres(part: RowPartitionedEll, mesh: Mesh,
         Dinv = _owned_block_diag_inv(part, coeffs, bs)     # [S,P,nb,bs,bs]
         Bs = np.stack([np.stack([part.shard_vector(B[s, j])
                                  for j in range(l)]) for s in range(S)])
-        Xr, Xi, res = _solve(vals_r, vals_i, cols_h,
-                             *_planes(coeffs.astype(cdt), rdt),
-                             *_planes(Dinv.astype(cdt), rdt),
-                             *_planes(Bs.astype(cdt), rdt))
+        if coarse is None:
+            Xr, Xi, res = _solve(vals_r, vals_i, cols_h,
+                                 *_planes(coeffs.astype(cdt), rdt),
+                                 *_planes(Dinv.astype(cdt), rdt),
+                                 *_planes(Bs.astype(cdt), rdt))
+        else:
+            from ..ops.panel_solve import acinv_batch
+            Acinv = acinv_batch(coarse, coeffs)            # [S, nc, nc]
+            Xr, Xi, res = _solve_tg(vals_r, vals_i, cols_h, pcl_h, pvl_h,
+                                    *_planes(coeffs.astype(cdt), rdt),
+                                    *_planes(Dinv.astype(cdt), rdt),
+                                    *_planes(Acinv.astype(cdt), rdt),
+                                    *_planes(Bs.astype(cdt), rdt))
         Xr, Xi = np.asarray(Xr, np.float64), np.asarray(Xi, np.float64)
         X = np.empty((S, l, part.n), np.complex128)
         for s in range(S):
