@@ -41,11 +41,11 @@ def main():
     import jax
 
     from wavesandeigenvalues_jl_tpu.mesh import octosplit, read_mesh
-    from wavesandeigenvalues_jl_tpu.mesh.refine import (
-        compose_prolongations, p1_prolongation)
+    from wavesandeigenvalues_jl_tpu.mesh.refine import p1_prolongation
     from wavesandeigenvalues_jl_tpu.models import discretize
     from wavesandeigenvalues_jl_tpu.nlevp.solvers import beyn
-    from wavesandeigenvalues_jl_tpu.ops.panel_solve import CoarseGrid
+    from wavesandeigenvalues_jl_tpu.ops.panel_solve import (CoarseGrid,
+                                                            MultiGrid)
     from wavesandeigenvalues_jl_tpu.parallel.dist_beyn import beyn_batched
 
     g, R, Tu, Tb = 1.4, 287.05, 300.0, 1200.0
@@ -64,16 +64,18 @@ def main():
         Ps.append(p1_prolongation(meshes[-1]))
         meshes.append(octosplit(meshes[-1]))
     fine = meshes[-1]
-    P = Ps[-1]
-    for Pk in reversed(Ps[:-1]):
-        P = compose_prolongations(P, Pk)
     t_mesh = time.time() - t0
 
     t0 = time.time()
-    Lc = discretize(coarse, ds, fld(coarse))
-    Lf = discretize(fine, ds, fld(fine))
+    fams = [discretize(m, ds, fld(m)) for m in meshes]
+    Lc, Lf = fams[0], fams[-1]
     t_assemble = time.time() - t0
-    cg = CoarseGrid(Lc, P)
+    # full multilevel hierarchy: each V-cycle level only bridges one 8×
+    # octosplit refinement (a single 2-level jump stalls near 1e-3)
+    if args.nsplit == 1:
+        cg = CoarseGrid(Lc, Ps[0])
+    else:
+        cg = MultiGrid(fams[-2::-1], Ps[::-1], bs=64)
 
     Gamma = [2 * np.pi * (150 - 5j), 2 * np.pi * (1000 - 5j),
              2 * np.pi * (1000 + 5j), 2 * np.pi * (150 + 5j)]

@@ -145,3 +145,38 @@ def test_matfree_moments_checkpoint_resume(rijke1d, tmp_path):
     L.params["τ"] = L.params["τ"] / 1.001
     A_ref, _ = matfree_moments(L, Gamma, V=V, K=1, N=8, bs=16)
     assert not np.allclose(A_new, A_ref)
+
+
+def test_multigrid_panel_solver():
+    """Full multilevel V-cycle (3 levels): one device pass reaches ~1e-11
+    where the 2-level-jump coarse stalls near 1e-3 — the production
+    preconditioner of the big-mesh matrix-free Beyn (SCALE.json)."""
+    from wavesandeigenvalues_jl_tpu.mesh.generate import rijke_mesh
+    from wavesandeigenvalues_jl_tpu.mesh.refine import (octosplit,
+                                                        p1_prolongation)
+    from wavesandeigenvalues_jl_tpu.models import discretize
+    from wavesandeigenvalues_jl_tpu.ops.linsolve import factorize
+    from wavesandeigenvalues_jl_tpu.ops.panel_solve import MultiGrid
+
+    m0 = rijke_mesh(n_rings=1, nz_cold=5, nz_hot=5)
+    P0 = p1_prolongation(m0)
+    m1 = octosplit(m0)
+    P1 = p1_prolongation(m1)
+    m2 = octosplit(m1)
+    fld = lambda m: m.generate_field(
+        lambda x, y, z: np.where(z < 0, 347.0, 694.0))
+    ds = {"Interior": ("interior", ()),
+          "Outlet": ("admittance", ("Y", 1e15))}
+    L0, L1, L2 = (discretize(m, ds, fld(m)) for m in (m0, m1, m2))
+    mg = MultiGrid([L1, L0], [P1, P0], bs=32)
+    solver = ShiftedPanelSolver(L2, bs=64, restart=20, max_restarts=5,
+                                coarse=mg)
+    d = L2.size
+    V = np.zeros((d, 2), np.complex128)
+    V[0, 0] = V[1, 1] = 1.0
+    zs = 2 * np.pi * np.array([250 + 5j, 600 + 5j])
+    X, info = solver.solve(zs, V)
+    assert info["max_relres"] < 1e-10
+    for j, z in enumerate(zs):
+        Xd = factorize(L2(complex(z))).solve(V)
+        assert np.linalg.norm(X[j] - Xd) / np.linalg.norm(Xd) < 1e-8

@@ -196,6 +196,129 @@ class CoarseGrid:
         self.ptell_vals = np.concatenate([Pt.data, [0.0]])[tg]
 
 
+class MultiGrid:
+    """Geometric multilevel hierarchy for the panel GMRES preconditioner.
+
+    ``families``: the SAME operator family discretized on successively
+    coarser octosplit ancestors, fine-ward first (EXCLUDING the solve
+    level); ``prolongations``: P1 interpolation COOs
+    (mesh/refine.p1_prolongation), ``prolongations[k]`` mapping
+    ``families[k]`` up to the level above (the solve level for k=0).
+    The deepest family is inverted exactly per shift (host complex128);
+    every intermediate level gets a block-Jacobi smoother.  A 2-level
+    jump (e.g. 42k DOF → 1006) leaves the smoother covering a 64×
+    frequency span and the cycle stalls near 1e-3; with the full
+    hierarchy each level only bridges the 8× octosplit refinement."""
+
+    def __init__(self, families, prolongations, bs: int = 64):
+        from .sparse import csr_to_ell
+        if len(families) != len(prolongations):
+            raise ValueError("need one prolongation per coarse family")
+        self.bs = bs
+        self.n_fine = int(prolongations[0][3][0])
+        self.levels = []       # intermediate: (values, rows, cols, ell)
+        self.xfers = []        # (pell_cols, pell_vals, ptell_cols, ptell_vals)
+        n_above = self.n_fine
+        for k, (fam, pro) in enumerate(zip(families, prolongations)):
+            S = fam._stack()
+            nk = int(S.shape[0])
+            if pro[3] != (n_above, nk):
+                raise ValueError(f"prolongation {k} maps {pro[3]}, "
+                                 f"expected ({n_above}, {nk})")
+            cg = CoarseGrid(fam, pro)      # reuse its ELL transfer build
+            self.xfers.append((cg.pell_cols, cg.pell_vals.astype(np.float64),
+                               cg.ptell_cols,
+                               cg.ptell_vals.astype(np.float64)))
+            if k < len(families) - 1:      # intermediate: smoother + op
+                ec, eg, _ = csr_to_ell(S.indptr, S.indices, nk)
+                self.levels.append((S.values,
+                                    np.asarray(S.row_ids(), np.int64),
+                                    np.asarray(S.indices, np.int64),
+                                    ec.astype(np.int32),
+                                    eg.astype(np.int32), nk))
+            else:                          # deepest: exact inverse
+                self.n_coarse = nk
+                self.values = S.values
+                self.crows = np.asarray(S.row_ids(), np.int64)
+                self.ccols = np.asarray(S.indices, np.int64)
+            n_above = nk
+
+
+@partial(jax.jit, static_argnames=("n", "restart", "max_restarts"))
+def _panel_gmres_mg(vr, vi, ecols, egather, dvr, dvi,
+                    lvl_ops, lvl_dinv, xfers, air, aii,
+                    cr, ci, br, bi, tol,
+                    n: int, restart: int, max_restarts: int):
+    """Multilevel-V-cycle-preconditioned panel GMRES (the L-level
+    generalization of :func:`_panel_gmres_tg`).
+
+    ``lvl_ops``: tuple per intermediate level of (lvr, lvi, lecols,
+    legather); ``lvl_dinv``: tuple per intermediate level of (ldvr, ldvi)
+    [S, nb, bs, bs] host-inverted smoother planes; ``xfers``: tuple per
+    level transition of (pell_cols, pell_vals, ptell_cols, ptell_vals);
+    ``air/aii``: [S, nc, nc] deepest-level exact inverses.  The V-cycle
+    recursion unrolls at trace time — every op is a gather/einsum/matmul,
+    nothing that lowers to a loop program."""
+    vals0 = jax.lax.complex(vr, vi)
+    lvl_vals = [jax.lax.complex(a, b) for (a, b, _, _) in lvl_ops]
+
+    def one_shift(c, Dinv0, Dlv, Acinv, B):
+        # per-level shifted data packed to ELL
+        data0 = c @ vals0
+        dell0 = jnp.concatenate([data0,
+                                 jnp.zeros(1, data0.dtype)])[egather]
+        dells, lcols = [dell0], [ecols]
+        dinvs = [(Dinv0,)]
+        for (lv, (_, _, lec, leg)) in zip(lvl_vals, lvl_ops):
+            dk = c @ lv
+            dells.append(jnp.concatenate(
+                [dk, jnp.zeros(1, dk.dtype)])[leg])
+            lcols.append(lec)
+        for (ldr, ldi) in Dlv:
+            dinvs.append((jax.lax.complex(ldr, ldi),))
+
+        def spmv_k(k, x):
+            return jnp.sum(dells[k] * x[lcols[k]], axis=1)
+
+        def dinv_k(k, v):
+            Dk = dinvs[k][0]
+            nb, bs = Dk.shape[0], Dk.shape[1]
+            nk = lcols[k].shape[0]
+            vp = jnp.zeros(nb * bs, v.dtype).at[:nk].set(v)
+            out = jnp.einsum("bij,bj->bi", Dk, vp.reshape(nb, bs))
+            return out.reshape(-1)[:nk]
+
+        n_lvl = len(xfers)     # transitions; deepest solve after the last
+
+        def vcycle(k, v):
+            """Approximately solve A_k y = v (k = 0 is the solve level)."""
+            if k == n_lvl:
+                return Acinv @ v
+            pc, pvv, tc, tvv = xfers[k]
+            pv = pvv.astype(v.dtype)
+            tv = tvv.astype(v.dtype)
+            y = dinv_k(k, v)
+            r = v - spmv_k(k, y)
+            y = y + jnp.sum(pv * vcycle(k + 1,
+                                        jnp.sum(tv * r[tc], axis=1))[pc],
+                            axis=1)
+            r = v - spmv_k(k, y)
+            return y + dinv_k(k, r)
+
+        def one_col(b):
+            x, res, _ = gmres_impl(lambda x: vcycle(0, spmv_k(0, x)),
+                                   vcycle(0, b), tol=tol, restart=restart,
+                                   max_restarts=max_restarts)
+            return x, res
+
+        return jax.vmap(one_col)(B)
+
+    X, res = jax.vmap(one_shift)(
+        jax.lax.complex(cr, ci), jax.lax.complex(dvr, dvi),
+        lvl_dinv, jax.lax.complex(air, aii), jax.lax.complex(br, bi))
+    return jnp.real(X), jnp.imag(X), res
+
+
 def acinv_batch(cg: "CoarseGrid", coeffs: np.ndarray) -> np.ndarray:
     """[S, nc, nc] complex128 host inverses of the coarse operator at
     each shift's coefficient vector (one batched LAPACK inversion)."""
@@ -251,6 +374,14 @@ class ShiftedPanelSolver:
         if coarse is not None and coarse.n_fine != self.n:
             raise ValueError(f"prolongation n_fine {coarse.n_fine} != "
                              f"operator dim {self.n}")
+        if isinstance(coarse, MultiGrid):
+            # device-ready per-level operator planes + transfer ELLs
+            self._mg_ops = tuple(
+                (*_planes(values, self._rdt), ec, eg)
+                for (values, _r, _c, ec, eg, _nk) in coarse.levels)
+            self._mg_xfers = tuple(
+                (pc, pv.astype(self._rdt), tc, tv.astype(self._rdt))
+                for (pc, pv, tc, tv) in coarse.xfers)
         self._chunk = chunk
         # host-exact structure for refinement residuals
         import scipy.sparse as sp
@@ -300,6 +431,17 @@ class ShiftedPanelSolver:
         """[c, nc, nc] complex128 host coarse-operator inverses."""
         return acinv_batch(self.coarse, coeffs)
 
+    def _mg_dinv_chunk(self, coeffs):
+        """Per intermediate level: [c, nb_k, bs, bs] smoother inverses."""
+        from .gmres import _block_diag_inv
+        out = []
+        for (values, rows, cols, _ec, _eg, nk) in self.coarse.levels:
+            out.append(np.stack([
+                _block_diag_inv(rows, cols, coeffs[j] @ values, nk,
+                                self.coarse.bs)
+                for j in range(coeffs.shape[0])]))
+        return out
+
     # -- device passes -----------------------------------------------------
 
     def _solve_chunks(self, coeffs, B):
@@ -330,6 +472,18 @@ class ShiftedPanelSolver:
                 Xr, Xi, r = _panel_gmres(
                     self._vr, self._vi, self._ecols, self._egather,
                     *_planes(Dinv, self._rdt),
+                    *_planes(c, self._rdt), *_planes(b, self._rdt), tol,
+                    n=self.n, restart=self.restart,
+                    max_restarts=self.max_restarts)
+            elif isinstance(self.coarse, MultiGrid):
+                Acinv = acinv_batch(self.coarse, c)
+                lvl_dinv = tuple(_planes(Dk, self._rdt)
+                                 for Dk in self._mg_dinv_chunk(c))
+                Xr, Xi, r = _panel_gmres_mg(
+                    self._vr, self._vi, self._ecols, self._egather,
+                    *_planes(Dinv, self._rdt),
+                    self._mg_ops, lvl_dinv, self._mg_xfers,
+                    *_planes(Acinv, self._rdt),
                     *_planes(c, self._rdt), *_planes(b, self._rdt), tol,
                     n=self.n, restart=self.restart,
                     max_restarts=self.max_restarts)
@@ -419,4 +573,4 @@ def solve_shifted_panel(family, zs, V, **kw):
 
 
 __all__ = ["ShiftedPanelSolver", "solve_shifted_panel", "CoarseGrid",
-           "acinv_batch", "PANEL_BUDGET"]
+           "MultiGrid", "acinv_batch", "PANEL_BUDGET"]
