@@ -90,7 +90,8 @@ def main():
     Om, _ = beyn_batched(Lf, Gamma, l=args.l, N=args.N, rtol=1e-12,
                          dense=False, output=True, coarse=cg,
                          restart=args.restart,
-                         max_restarts=args.max_restarts, chunk=args.chunk)
+                         max_restarts=args.max_restarts, chunk=args.chunk,
+                         checkpoint="/tmp/scale_moments.npz")
     t_fine = time.time() - t0
     f_fine = np.sort(Om.real) / 2 / np.pi
 
