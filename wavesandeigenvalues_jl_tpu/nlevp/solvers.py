@@ -677,16 +677,54 @@ def pos_test(Om, P, Gamma):
     return Om[mask], P[:, mask]
 
 
+def verify_eigenpairs(L: OperatorFamily, Om, P, res_tol: Optional[float]
+                      = None, output: bool = False):
+    """Per-eigenpair sparse residuals ‖L(ω)v‖ / (‖L‖_F ‖v‖) for Beyn
+    candidates, O(nnz) per candidate (one CSR assembly + matvec).
+
+    The reference documents these residual norms as the user-facing
+    quality check on contour eigenpairs (docs/src/tutorial_00_NLEVP.md:
+    291-302) but never filters on them; at scale, inexact quadrature
+    solves can push a spurious direction through the σ cutoff (a
+    plausible-but-wrong eigenvalue with residual orders above the true
+    modes).  ``res_tol``: drop candidates with residual above it (None =
+    keep all, report only).  Returns (Om, P, res) filtered consistently."""
+    Om = np.asarray(Om)
+    res = np.empty(len(Om))
+    saved = L.params[L.eigval]
+    for i, om in enumerate(Om):
+        if not np.isfinite(om):
+            res[i] = np.inf
+            continue
+        Lz = L(complex(om))
+        v = P[:, i]
+        res[i] = (np.linalg.norm(Lz @ v)
+                  / max(Lz.norm(), 1e-300) / max(np.linalg.norm(v), 1e-300))
+    L.params[L.eigval] = saved
+    if output and len(Om):
+        for om, r in zip(Om, res):
+            print(f"  eigenpair {om}: residual {r:.3e}")
+    if res_tol is not None:
+        keep = res <= res_tol
+        if output and (~keep).any():
+            print(f"verify_eigenpairs: dropping {int((~keep).sum())} "
+                  f"candidate(s) with residual > {res_tol:g}")
+        return Om[keep], P[:, keep], res[keep]
+    return Om, P, res
+
+
 def beyn(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0, rtol=0.0,
          pos_test_flag=True, output=False, random=False,
-         checkpoint: Optional[str] = None):
+         checkpoint: Optional[str] = None, res_tol: Optional[float] = None):
     """Beyn's contour-integral global eigensolver (beyn.jl:34-110).
 
     Finds all eigenvalues inside the polygon Γ; follows the pseudocode of
     Buschmann et al. 2020.  ``tol``/``rtol``: absolute/relative singular-
     value cutoffs (see :func:`moments2eigs`; use rtol≈1e-12 on badly scaled
     operators).  ``checkpoint``: optional path to persist/resume the
-    quadrature (see :func:`compute_moment_matrices`)."""
+    quadrature (see :func:`compute_moment_matrices`).  ``res_tol``:
+    per-eigenpair residual cutoff (see :func:`verify_eigenpairs`; None
+    keeps every candidate)."""
     d = L.size
     K = max(K, (l + d - 1) // d)
     V = initialize_V(d, l, random=random)
@@ -698,6 +736,9 @@ def beyn(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0, rtol=0.0,
         print("singular values:", S)
     if pos_test_flag:
         Om, P = pos_test(Om, P, Gamma)
+    if res_tol is not None or output:
+        Om, P, _res = verify_eigenpairs(L, Om, P, res_tol=res_tol,
+                                        output=output)
     return Om, P
 
 
@@ -874,6 +915,7 @@ __all__ = [
     "picard", "beyn", "gauss_nodes", "initialize_V",
     "compute_moment_matrices", "moments2eigs", "wn", "inpoly", "pos_test",
     "count_poles_and_zeros", "generate_subspace", "solve",
+    "verify_eigenpairs",
     "mehrmann", "juniper", "guettel",
     "ITSOL_CONVERGED", "ITSOL_MAXITER", "ITSOL_SLOW_CONVERGENCE",
     "ITSOL_IMPOSSIBLE", "ITSOL_SINGULAR_EXCEPTION", "ITSOL_EIGS_EXCEPTION",

@@ -50,7 +50,7 @@ def _planes(x, rdt):
 
 @partial(jax.jit, static_argnames=("n", "restart", "max_restarts"))
 def _panel_gmres(vr, vi, ecols, egather, dvr, dvi,
-                 cr, ci, br, bi, tol,
+                 cr, ci, br, bi, xr, xi, tol,
                  n: int, restart: int, max_restarts: int):
     """One chunk of shifted panel solves.
 
@@ -60,11 +60,13 @@ def _panel_gmres(vr, vi, ecols, egather, dvr, dvi,
     complex128 on host — device linalg like lu_factor/inv lowers to huge
     loop programs whose XLA:TPU compile alone costs minutes, while the
     apply is just an einsum); ``cr/ci``: [S, K] per-shift coefficient
-    planes; ``br/bi``: [S, l, n] RHS planes.  Returns solution planes
-    [S, l, n] and preconditioned relative residuals [S, l]."""
+    planes; ``br/bi``: [S, l, n] RHS planes; ``xr/xi``: [S, l, n]
+    warm-start planes (zeros for a cold start).  Returns solution planes
+    [S, l, n], preconditioned relative residuals [S, l] and restart
+    counts [S, l]."""
     vals = jax.lax.complex(vr, vi)
 
-    def one_shift(c, Dinv, B):
+    def one_shift(c, Dinv, B, X0):
         data = c @ vals                                        # [nnz]
         # pack to padded ELL once per shift: the SpMV becomes gather +
         # multiply + row-reduce (a batched scatter under a wide vmap
@@ -81,24 +83,25 @@ def _panel_gmres(vr, vi, ecols, egather, dvr, dvi,
             out = jnp.einsum("bij,bj->bi", Dinv, vp.reshape(nb, bs))
             return out.reshape(-1)[:n]
 
-        def one_col(b):
-            x, res, _ = gmres_impl(lambda x: dinv(spmv(x)), dinv(b),
-                                   tol=tol, restart=restart,
-                                   max_restarts=max_restarts)
-            return x, res
+        def one_col(b, x0):
+            x, res, its = gmres_impl(lambda x: dinv(spmv(x)), dinv(b),
+                                     x0=x0, tol=tol, restart=restart,
+                                     max_restarts=max_restarts)
+            return x, res, its
 
-        return jax.vmap(one_col)(B)
+        return jax.vmap(one_col)(B, X0)
 
-    X, res = jax.vmap(one_shift)(jax.lax.complex(cr, ci),
-                                 jax.lax.complex(dvr, dvi),
-                                 jax.lax.complex(br, bi))
-    return jnp.real(X), jnp.imag(X), res
+    X, res, its = jax.vmap(one_shift)(jax.lax.complex(cr, ci),
+                                      jax.lax.complex(dvr, dvi),
+                                      jax.lax.complex(br, bi),
+                                      jax.lax.complex(xr, xi))
+    return jnp.real(X), jnp.imag(X), res, its
 
 
 @partial(jax.jit, static_argnames=("n", "nc", "restart", "max_restarts"))
 def _panel_gmres_tg(vr, vi, ecols, egather, dvr, dvi,
                     air, aii, pell_cols, pell_vals, ptell_cols, ptell_vals,
-                    cr, ci, br, bi, tol,
+                    cr, ci, br, bi, xr, xi, tol,
                     n: int, nc: int, restart: int, max_restarts: int):
     """Two-grid-preconditioned variant of :func:`_panel_gmres`.
 
@@ -120,7 +123,7 @@ def _panel_gmres_tg(vr, vi, ecols, egather, dvr, dvi,
     UMFPACK envelope (beyn.jl:62-74)."""
     vals = jax.lax.complex(vr, vi)
 
-    def one_shift(c, Dinv, Acinv, B):
+    def one_shift(c, Dinv, Acinv, B, X0):
         data = c @ vals
         dell = jnp.concatenate([data, jnp.zeros(1, data.dtype)])[egather]
         nb, bs = Dinv.shape[0], Dinv.shape[1]
@@ -150,19 +153,20 @@ def _panel_gmres_tg(vr, vi, ecols, egather, dvr, dvi,
             r = v - spmv(y)
             return y + dinv(r)
 
-        def one_col(b):
-            x, res, _ = gmres_impl(lambda x: minv(spmv(x)), minv(b),
-                                   tol=tol, restart=restart,
-                                   max_restarts=max_restarts)
-            return x, res
+        def one_col(b, x0):
+            x, res, its = gmres_impl(lambda x: minv(spmv(x)), minv(b),
+                                     x0=x0, tol=tol, restart=restart,
+                                     max_restarts=max_restarts)
+            return x, res, its
 
-        return jax.vmap(one_col)(B)
+        return jax.vmap(one_col)(B, X0)
 
-    X, res = jax.vmap(one_shift)(jax.lax.complex(cr, ci),
-                                 jax.lax.complex(dvr, dvi),
-                                 jax.lax.complex(air, aii),
-                                 jax.lax.complex(br, bi))
-    return jnp.real(X), jnp.imag(X), res
+    X, res, its = jax.vmap(one_shift)(jax.lax.complex(cr, ci),
+                                      jax.lax.complex(dvr, dvi),
+                                      jax.lax.complex(air, aii),
+                                      jax.lax.complex(br, bi),
+                                      jax.lax.complex(xr, xi))
+    return jnp.real(X), jnp.imag(X), res, its
 
 
 class CoarseGrid:
@@ -247,7 +251,7 @@ class MultiGrid:
 @partial(jax.jit, static_argnames=("n", "restart", "max_restarts"))
 def _panel_gmres_mg(vr, vi, ecols, egather, dvr, dvi,
                     lvl_ops, lvl_dinv, xfers, air, aii,
-                    cr, ci, br, bi, tol,
+                    cr, ci, br, bi, xr, xi, tol,
                     n: int, restart: int, max_restarts: int):
     """Multilevel-V-cycle-preconditioned panel GMRES (the L-level
     generalization of :func:`_panel_gmres_tg`).
@@ -262,7 +266,7 @@ def _panel_gmres_mg(vr, vi, ecols, egather, dvr, dvi,
     vals0 = jax.lax.complex(vr, vi)
     lvl_vals = [jax.lax.complex(a, b) for (a, b, _, _) in lvl_ops]
 
-    def one_shift(c, Dinv0, Dlv, Acinv, B):
+    def one_shift(c, Dinv0, Dlv, Acinv, B, X0):
         # per-level shifted data packed to ELL
         data0 = c @ vals0
         dell0 = jnp.concatenate([data0,
@@ -305,18 +309,20 @@ def _panel_gmres_mg(vr, vi, ecols, egather, dvr, dvi,
             r = v - spmv_k(k, y)
             return y + dinv_k(k, r)
 
-        def one_col(b):
-            x, res, _ = gmres_impl(lambda x: vcycle(0, spmv_k(0, x)),
-                                   vcycle(0, b), tol=tol, restart=restart,
-                                   max_restarts=max_restarts)
-            return x, res
+        def one_col(b, x0):
+            x, res, its = gmres_impl(lambda x: vcycle(0, spmv_k(0, x)),
+                                     vcycle(0, b), x0=x0, tol=tol,
+                                     restart=restart,
+                                     max_restarts=max_restarts)
+            return x, res, its
 
-        return jax.vmap(one_col)(B)
+        return jax.vmap(one_col)(B, X0)
 
-    X, res = jax.vmap(one_shift)(
+    X, res, its = jax.vmap(one_shift)(
         jax.lax.complex(cr, ci), jax.lax.complex(dvr, dvi),
-        lvl_dinv, jax.lax.complex(air, aii), jax.lax.complex(br, bi))
-    return jnp.real(X), jnp.imag(X), res
+        lvl_dinv, jax.lax.complex(air, aii), jax.lax.complex(br, bi),
+        jax.lax.complex(xr, xi))
+    return jnp.real(X), jnp.imag(X), res, its
 
 
 def acinv_batch(cg: "CoarseGrid", coeffs: np.ndarray) -> np.ndarray:
@@ -389,6 +395,17 @@ class ShiftedPanelSolver:
         self._indptr = np.asarray(S.indptr)
         self._indices = np.asarray(S.indices)
         self._values128 = np.asarray(S.values, np.complex128)
+        # batched block-Jacobi structure (fine level + MultiGrid levels):
+        # built once, inverted per chunk with ONE batched LAPACK call
+        from .gmres import BatchedBlockDiagInv
+        self._dbb = BatchedBlockDiagInv(rows, cols, self.n, bs)
+        if isinstance(coarse, MultiGrid):
+            self._mg_dbb = [
+                BatchedBlockDiagInv(lrows, lcols, nk, coarse.bs)
+                for (_v, lrows, lcols, _ec, _eg, nk) in coarse.levels]
+        self.timings = {"prep_s": 0.0, "device_s": 0.0, "residual_s": 0.0}
+        self.total_restarts = 0
+        self.n_solves = 0
 
     # -- host helpers ------------------------------------------------------
 
@@ -417,35 +434,35 @@ class ShiftedPanelSolver:
         c = int(PANEL_BUDGET // (l * per_instance + per_shift))
         return max(1, c)
 
+    def default_group(self, l: int) -> int:
+        """Natural shift-group size for contour drivers (one chunk)."""
+        return self._chunk or self._auto_chunk(l)
+
     def _dinv_chunk(self, coeffs):
-        """[c, nb, bs, bs] complex128 host block-Jacobi inverses (device
-        linalg would cost minutes of XLA:TPU compile; this is milliseconds
-        of LAPACK)."""
-        from .gmres import _block_diag_inv
-        return np.stack([
-            _block_diag_inv(self._rows64, self._cols64,
-                            coeffs[j] @ self._values128, self.n, self.bs)
-            for j in range(coeffs.shape[0])])
+        """[c, nb, bs, bs] complex128 host block-Jacobi inverses, one
+        batched LAPACK call over the whole chunk (device linalg would cost
+        minutes of XLA:TPU compile; per-shift Python loops would serialize
+        the host prep)."""
+        return self._dbb.inv(coeffs @ self._values128)
 
     def _acinv_chunk(self, coeffs):
         """[c, nc, nc] complex128 host coarse-operator inverses."""
         return acinv_batch(self.coarse, coeffs)
 
     def _mg_dinv_chunk(self, coeffs):
-        """Per intermediate level: [c, nb_k, bs, bs] smoother inverses."""
-        from .gmres import _block_diag_inv
-        out = []
-        for (values, rows, cols, _ec, _eg, nk) in self.coarse.levels:
-            out.append(np.stack([
-                _block_diag_inv(rows, cols, coeffs[j] @ values, nk,
-                                self.coarse.bs)
-                for j in range(coeffs.shape[0])]))
-        return out
+        """Per intermediate level: [c, nb_k, bs, bs] smoother inverses
+        (batched over the chunk per level)."""
+        return [dbb.inv(coeffs @ lvl[0])
+                for dbb, lvl in zip(self._mg_dbb, self.coarse.levels)]
 
     # -- device passes -----------------------------------------------------
 
-    def _solve_chunks(self, coeffs, B):
-        """Raw device pass: [S,K] coeffs, [S,l,n] RHS -> [S,l,n] X c128."""
+    def _solve_chunks(self, coeffs, B, X0=None):
+        """Raw device pass: [S,K] coeffs, [S,l,n] RHS -> [S,l,n] X c128.
+
+        ``X0``: optional [S,l,n] warm-start iterates (e.g. the solution at
+        a neighboring contour node)."""
+        import time as _time
         Sn = coeffs.shape[0]
         l = B.shape[1]
         cmax = self._chunk or self._auto_chunk(l)
@@ -464,53 +481,63 @@ class ShiftedPanelSolver:
             pad = chunk - (s1 - s0)
             c = coeffs[s0:s1]
             b = B[s0:s1]
+            x0 = (X0[s0:s1] if X0 is not None
+                  else np.zeros_like(b))
             if pad:  # fixed chunk shape -> one compiled program
                 c = np.concatenate([c, np.repeat(c[-1:], pad, 0)])
                 b = np.concatenate([b, np.repeat(b[-1:], pad, 0)])
+                x0 = np.concatenate([x0, np.repeat(x0[-1:], pad, 0)])
+            t0 = _time.perf_counter()
             Dinv = self._dinv_chunk(c)
             if self.coarse is None:
-                Xr, Xi, r = _panel_gmres(
-                    self._vr, self._vi, self._ecols, self._egather,
-                    *_planes(Dinv, self._rdt),
-                    *_planes(c, self._rdt), *_planes(b, self._rdt), tol,
-                    n=self.n, restart=self.restart,
-                    max_restarts=self.max_restarts)
+                args = ()
+                fn = _panel_gmres
+                kw = {}
             elif isinstance(self.coarse, MultiGrid):
                 Acinv = acinv_batch(self.coarse, c)
                 lvl_dinv = tuple(_planes(Dk, self._rdt)
                                  for Dk in self._mg_dinv_chunk(c))
-                Xr, Xi, r = _panel_gmres_mg(
-                    self._vr, self._vi, self._ecols, self._egather,
-                    *_planes(Dinv, self._rdt),
-                    self._mg_ops, lvl_dinv, self._mg_xfers,
-                    *_planes(Acinv, self._rdt),
-                    *_planes(c, self._rdt), *_planes(b, self._rdt), tol,
-                    n=self.n, restart=self.restart,
-                    max_restarts=self.max_restarts)
+                args = (self._mg_ops, lvl_dinv, self._mg_xfers,
+                        *_planes(Acinv, self._rdt))
+                fn = _panel_gmres_mg
+                kw = {}
             else:
                 cg = self.coarse
                 Acinv = self._acinv_chunk(c)
-                Xr, Xi, r = _panel_gmres_tg(
-                    self._vr, self._vi, self._ecols, self._egather,
-                    *_planes(Dinv, self._rdt), *_planes(Acinv, self._rdt),
-                    cg.pell_cols, cg.pell_vals.astype(self._rdt),
-                    cg.ptell_cols, cg.ptell_vals.astype(self._rdt),
-                    *_planes(c, self._rdt), *_planes(b, self._rdt), tol,
-                    n=self.n, nc=cg.n_coarse,
-                    restart=self.restart, max_restarts=self.max_restarts)
-            Xr, Xi, r = np.asarray(Xr), np.asarray(Xi), np.asarray(r)
+                args = (*_planes(Acinv, self._rdt),
+                        cg.pell_cols, cg.pell_vals.astype(self._rdt),
+                        cg.ptell_cols, cg.ptell_vals.astype(self._rdt))
+                fn = _panel_gmres_tg
+                kw = {"nc": cg.n_coarse}
+            t1 = _time.perf_counter()
+            Xr, Xi, r, its = fn(
+                self._vr, self._vi, self._ecols, self._egather,
+                *_planes(Dinv, self._rdt), *args,
+                *_planes(c, self._rdt), *_planes(b, self._rdt),
+                *_planes(x0, self._rdt), tol,
+                n=self.n, restart=self.restart,
+                max_restarts=self.max_restarts, **kw)
+            Xr, Xi = np.asarray(Xr), np.asarray(Xi)
+            r, its = np.asarray(r), np.asarray(its)
+            t2 = _time.perf_counter()
+            self.timings["prep_s"] += t1 - t0
+            self.timings["device_s"] += t2 - t1
+            self.total_restarts += int(its[:s1 - s0].sum())
+            self.n_solves += (s1 - s0) * l
             X[s0:s1] = (Xr.astype(np.float64)
                         + 1j * Xi.astype(np.float64))[:s1 - s0]
             res[s0:s1] = r[:s1 - s0]
             s0 = s1
         return X, res
 
-    def solve(self, zs, V, output: bool = False):
+    def solve(self, zs, V, output: bool = False, X0=None):
         """X[j] = L(z_j)⁻¹ V to complex128 accuracy.
 
         ``zs``: [S] shifts; ``V``: [n, l] shared probe panel or [S, n, l]
-        per-shift RHS.  Returns (X [S, n, l], info) where info carries the
-        final exact relative residuals per shift."""
+        per-shift RHS.  ``X0``: optional [S, n, l] warm-start iterates.
+        Returns (X [S, n, l], info) where info carries the final exact
+        relative residuals per shift."""
+        import time as _time
         zs = np.asarray(zs)
         Sn = len(zs)
         V = np.asarray(V, np.complex128)
@@ -518,6 +545,9 @@ class ShiftedPanelSolver:
             Bfull = np.broadcast_to(V.T[None], (Sn,) + V.T.shape).copy()
         else:
             Bfull = np.ascontiguousarray(np.swapaxes(V, 1, 2))   # [S, l, n]
+        if X0 is not None:
+            X0 = np.ascontiguousarray(
+                np.swapaxes(np.asarray(X0, np.complex128), 1, 2))
         l = Bfull.shape[1]
         coeffs = self.coefficients(zs)
         mats = [self._host_csr(coeffs[j]) for j in range(Sn)]
@@ -534,12 +564,14 @@ class ShiftedPanelSolver:
         bnorm = np.linalg.norm(Bfull * srow[:, None, :], axis=2)  # [S, l]
         bnorm = np.where(bnorm == 0, 1.0, bnorm)
 
-        best, _ = self._solve_chunks(coeffs, Bfull)
+        best, _ = self._solve_chunks(coeffs, Bfull, X0=X0)
+        t_res = _time.perf_counter()
         best_res = np.empty((Sn, l))
         R = np.empty_like(Bfull)
         for j in range(Sn):  # exact c128 residuals
             R[j] = Bfull[j] - (mats[j] @ best[j].T).T
             best_res[j] = np.linalg.norm(R[j] * srow[j], axis=1) / bnorm[j]
+        self.timings["residual_s"] += _time.perf_counter() - t_res
         prev_max = np.inf
         for sweep in range(self.refine_sweeps):
             live = np.where(np.any(best_res > self.refine_tol, axis=1))[0]
@@ -554,6 +586,7 @@ class ShiftedPanelSolver:
             prev_max = cur_max
             dX, _ = self._solve_chunks(coeffs[live], R[live])
             cand = best[live] + dX
+            t_res = _time.perf_counter()
             # accept per-column only if the exact residual improved
             for i, j in enumerate(live):
                 Rc = Bfull[j] - (mats[j] @ cand[i].T).T
@@ -562,7 +595,11 @@ class ShiftedPanelSolver:
                 best[j][upd] = cand[i][upd]
                 best_res[j][upd] = rc[upd]
                 R[j][upd] = Rc[upd]
-        info = {"relres": best_res, "max_relres": float(best_res.max())}
+            self.timings["residual_s"] += _time.perf_counter() - t_res
+        info = {"relres": best_res, "max_relres": float(best_res.max()),
+                "timings": dict(self.timings),
+                "restarts_per_solve": (self.total_restarts
+                                       / max(self.n_solves, 1))}
         return np.ascontiguousarray(np.swapaxes(best, 1, 2)), info
 
 

@@ -1,0 +1,511 @@
+"""Block-tridiagonal direct panel solver ("slab solver") on device.
+
+The scalable DIRECT alternative to the GMRES panel path for the Beyn
+contour quadrature (/root/reference/src/NLEVP/beyn.jl:62-74 runs |Γ|·N
+independent UMFPACK factorizations; here all shifts in a chunk factorize
+together as batched dense MXU work).
+
+Key observation: BFS level sets of ANY sparse operator's adjacency graph
+have the property that every edge connects the same or adjacent levels —
+so ordering DOFs by (merged) BFS level makes the operator block
+tridiagonal with dense-padded slab blocks [s, s].  A block-Thomas
+factorization is then m sequential steps of batched dense linear algebra
+
+    Dt_i   = D_i − L_i · C_{i−1}
+    C_i    = Dt_i⁻¹ U_i,     y_i = Dt_i⁻¹ (b_i − L_i y_{i−1})
+    x_m    = y_m,            x_i = y_i − C_i x_{i+1}
+
+batched over shifts — exactly the shape the MXU wants.  For the 42.5k-DOF
+octosplit Rijke operator this is m=131 slabs of width ≤602.
+
+TPU-specific design rules (learned on the axon v5e):
+
+* ``jnp.linalg.solve`` compiles in seconds and runs fine as a TOP-LEVEL
+  batched op, but inside ``lax.scan`` its While-loop lowering blows the
+  compile up (>10 min) — so the forward sweep is a HOST loop over one
+  jitted step function (async dispatch pipelines the m steps), while the
+  matmul-only passes (backward substitution, refinement re-solves) reuse
+  small jitted steps as well.
+* The per-step block inverses ``Dt_i⁻¹`` are written into a donated
+  device buffer — refinement sweeps then need only matmuls, so iterative
+  refinement against exact complex128 host residuals costs a few percent
+  of the factorization.
+* Rows are equilibrated per shift (1/max|row|) on host before shipping:
+  penalty-BC rows (admittance Y~1e15) otherwise destroy the f32 block
+  factorization, and the refinement acceptance norm matches the scaled
+  system.
+* All complex crosses the host↔device boundary as (re, im) float planes
+  (axon runtime rejects complex transfers).
+"""
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import device_complex_dtype
+
+#: device-memory budget (bytes) for the stored block inverses of a chunk
+SLAB_BUDGET = float(os.environ.get("WAE_SLAB_BUDGET", "6.0e9"))
+
+
+def _concat_ranges(starts, counts):
+    """Concatenate ranges(starts[i], starts[i]+counts[i]) vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    out = np.ones(total, np.int64)
+    ends = np.cumsum(counts)
+    out[0] = starts[0]
+    nz = counts > 0
+    first = np.flatnonzero(nz)
+    # at each range boundary, jump to the next start
+    prev_end = starts[first[:-1]] + counts[first[:-1]]
+    out[ends[first[:-1]]] = starts[first[1:]] - prev_end + 1
+    return np.cumsum(out)
+
+
+def bfs_levels(indptr, nbrs, n: int):
+    """BFS level of every vertex from a pseudo-peripheral seed (two-pass);
+    disconnected components continue the level numbering (no cross edges,
+    so sharing slab indices across components stays block-tridiagonal)."""
+    lvl = np.full(n, -1, np.int64)
+    deg = np.diff(indptr)
+
+    def _bfs(start, base, write):
+        seen = lvl >= 0 if write else np.zeros(n, bool)
+        local = np.full(n, -1, np.int64)
+        frontier = np.array([start], np.int64)
+        local[start] = 0
+        seen[start] = True
+        d = 0
+        while frontier.size:
+            counts = (indptr[frontier + 1] - indptr[frontier])
+            nb = nbrs[_concat_ranges(indptr[frontier], counts)]
+            nb = np.unique(nb[~seen[nb]])
+            seen[nb] = True
+            d += 1
+            local[nb] = d
+            frontier = nb
+        if write:
+            sel = local >= 0
+            lvl[sel] = base + local[sel]
+        return local
+
+    base = 0
+    todo = np.ones(n, bool)
+    while todo.any():
+        seed = int(np.flatnonzero(todo)[np.argmin(deg[todo])])
+        l0 = _bfs(seed, 0, write=False)
+        # farthest reached vertex of this component = better peripheral seed
+        reach = l0 >= 0
+        far = int(np.flatnonzero(reach)[np.argmax(l0[reach])])
+        l1 = _bfs(far, base, write=True)
+        comp = l1 >= 0
+        base = int(lvl[lvl >= 0].max()) + 1
+        todo &= ~comp
+    return lvl
+
+
+class SlabPartition:
+    """DOF ordering by merged BFS levels: ``perm`` (new→old), slab sizes
+    and, for every union-pattern nnz entry, its (slab, block, row, col)
+    destination — everything the device assembly gathers/scatters need."""
+
+    def __init__(self, indptr, indices, n: int, target: Optional[int] = None):
+        from .reorder import adjacency_from_csr
+        from .sparse import CSR
+        A = CSR(np.asarray(indptr), np.asarray(indices),
+                np.ones(len(indices)), (n, n))
+        aptr, nbrs = adjacency_from_csr(A)
+        lvl = bfs_levels(aptr, nbrs, n)
+        sizes = np.bincount(lvl)
+        if target is None:
+            target = int(sizes.max())
+        # greedy merge of consecutive levels (edges only ever span one
+        # level, so merged slabs stay tridiagonal)
+        slab_of_level = np.empty(len(sizes), np.int64)
+        cur, acc = 0, 0
+        for k, sz in enumerate(sizes):
+            if acc and acc + sz > target:
+                cur += 1
+                acc = 0
+            slab_of_level[k] = cur
+            acc += sz
+        slab = slab_of_level[lvl]
+        self.m = int(slab.max()) + 1
+        self.sizes = np.bincount(slab, minlength=self.m)
+        self.smax = int(self.sizes.max())
+        order = np.lexsort((np.arange(n), slab))
+        self.perm = order                       # new -> old
+        self.iperm = np.empty(n, np.int64)
+        self.iperm[order] = np.arange(n)
+        self.slab_of_new = slab[order]
+        starts = np.zeros(self.m + 1, np.int64)
+        np.cumsum(self.sizes, out=starts[1:])
+        self.starts = starts
+        self.loc_of_new = np.arange(n) - starts[self.slab_of_new]
+        self.n = n
+
+    def entry_destinations(self, rows, cols):
+        """Per-nnz (slab i, block d∈{0:L,1:D,2:U}, row loc, col loc)."""
+        rn = self.iperm[np.asarray(rows, np.int64)]
+        cn = self.iperm[np.asarray(cols, np.int64)]
+        si, sj = self.slab_of_new[rn], self.slab_of_new[cn]
+        d = sj - si + 1
+        if d.min() < 0 or d.max() > 2:
+            raise AssertionError("BFS slab partition violated "
+                                 "tridiagonality — this cannot happen")
+        return si, d, self.loc_of_new[rn], self.loc_of_new[cn]
+
+
+# ---------------------------------------------------------------------------
+# jitted device steps (host-driven loops — see module docstring)
+
+
+
+
+def _z3(i):
+    """(i, 0, 0, 0) index tuple with matching integer dtypes for
+    dynamic_slice/dynamic_update_slice."""
+    z = jnp.zeros((), jnp.asarray(i).dtype)
+    return (i, z, z, z)
+
+
+@partial(jax.jit, static_argnames=("s", "B"), donate_argnums=(0, 1, 2, 3))
+def _fwd_step(DTr, DTi, Yr, Yi, Cr, Ci, yr, yi, dr, di, br, bi,
+              eidx, dest, rmap, size_i, i, s: int, B: int):
+    """One block-Thomas elimination step; writes Dt⁻¹ and y into the
+    donated [m,...] buffers at slab ``i``."""
+    blkr = jnp.zeros((B, 3 * s * s + 1), dr.dtype).at[:, dest].add(
+        dr[:, eidx])
+    blki = jnp.zeros((B, 3 * s * s + 1), di.dtype).at[:, dest].add(
+        di[:, eidx])
+    blk = jax.lax.complex(blkr, blki)[:, :3 * s * s].reshape(B, 3, s, s)
+    Lb, Db, Ub = blk[:, 0], blk[:, 1], blk[:, 2]
+    C = jax.lax.complex(Cr, Ci)
+    y = jax.lax.complex(yr, yi)
+    pad = (jnp.arange(s) >= size_i).astype(Db.dtype)
+    Dt = Db - Lb @ C + jnp.diag(pad)[None]
+    Eye = jnp.broadcast_to(jnp.eye(s, dtype=Dt.dtype), (B, s, s))
+    Dtinv = jnp.linalg.solve(Dt, Eye)
+    b_i = jax.lax.complex(br, bi)[:, rmap]          # [B, s, l]
+    Cn = Dtinv @ Ub
+    yn = Dtinv @ (b_i - Lb @ y)
+    DTr = jax.lax.dynamic_update_slice(DTr, jnp.real(Dtinv)[None],
+                                       _z3(i))
+    DTi = jax.lax.dynamic_update_slice(DTi, jnp.imag(Dtinv)[None],
+                                       _z3(i))
+    Yr = jax.lax.dynamic_update_slice(Yr, jnp.real(yn)[None], _z3(i))
+    Yi = jax.lax.dynamic_update_slice(Yi, jnp.imag(yn)[None], _z3(i))
+    return DTr, DTi, Yr, Yi, jnp.real(Cn), jnp.imag(Cn), \
+        jnp.real(yn), jnp.imag(yn)
+
+
+@partial(jax.jit, static_argnames=("s", "B"), donate_argnums=(0, 1))
+def _resolve_fwd_step(Yr, Yi, yr, yi, DTr, DTi, dr, di, br, bi,
+                      eidx, dest, rmap, i, s: int, B: int):
+    """Forward re-solve with the STORED block inverses (matmuls only):
+    y_i = Dt_i⁻¹ (b_i − L_i y_{i−1})."""
+    blkr = jnp.zeros((B, 3 * s * s + 1), dr.dtype).at[:, dest].add(
+        dr[:, eidx])
+    blki = jnp.zeros((B, 3 * s * s + 1), di.dtype).at[:, dest].add(
+        di[:, eidx])
+    blk = jax.lax.complex(blkr, blki)[:, :3 * s * s].reshape(B, 3, s, s)
+    Lb = blk[:, 0]
+    Dtinv = jax.lax.complex(
+        jax.lax.dynamic_slice(DTr, _z3(i), (1, B, s, s))[0],
+        jax.lax.dynamic_slice(DTi, _z3(i), (1, B, s, s))[0])
+    y = jax.lax.complex(yr, yi)
+    b_i = jax.lax.complex(br, bi)[:, rmap]
+    yn = Dtinv @ (b_i - Lb @ y)
+    Yr = jax.lax.dynamic_update_slice(Yr, jnp.real(yn)[None], _z3(i))
+    Yi = jax.lax.dynamic_update_slice(Yi, jnp.imag(yn)[None], _z3(i))
+    return Yr, Yi, jnp.real(yn), jnp.imag(yn)
+
+
+@partial(jax.jit, static_argnames=("s", "B"), donate_argnums=(0, 1))
+def _bwd_step(Xr, Xi, xr, xi, DTr, DTi, Yr, Yi, dr, di, eidx, dest,
+              i, s: int, B: int):
+    """Backward substitution step: x_i = y_i − (Dt_i⁻¹ U_i) x_{i+1};
+    writes x_i into the donated [m,...] solution buffer."""
+    blkr = jnp.zeros((B, 3 * s * s + 1), dr.dtype).at[:, dest].add(
+        dr[:, eidx])
+    blki = jnp.zeros((B, 3 * s * s + 1), di.dtype).at[:, dest].add(
+        di[:, eidx])
+    blk = jax.lax.complex(blkr, blki)[:, :3 * s * s].reshape(B, 3, s, s)
+    Ub = blk[:, 2]
+    Dtinv = jax.lax.complex(
+        jax.lax.dynamic_slice(DTr, _z3(i), (1, B, s, s))[0],
+        jax.lax.dynamic_slice(DTi, _z3(i), (1, B, s, s))[0])
+    y_i = jax.lax.complex(
+        jax.lax.dynamic_slice(Yr, _z3(i), (1,) + Yr.shape[1:])[0],
+        jax.lax.dynamic_slice(Yi, _z3(i), (1,) + Yi.shape[1:])[0])
+    x = jax.lax.complex(xr, xi)
+    xn = y_i - Dtinv @ (Ub @ x)
+    Xr = jax.lax.dynamic_update_slice(Xr, jnp.real(xn)[None], _z3(i))
+    Xi = jax.lax.dynamic_update_slice(Xi, jnp.imag(xn)[None], _z3(i))
+    return Xr, Xi, jnp.real(xn), jnp.imag(xn)
+
+
+class SlabSolver:
+    """Matrix-free-assembled block-tridiagonal DIRECT solver for
+    L(z_j) X_j = V panels at many shifts (same contract as
+    :class:`.panel_solve.ShiftedPanelSolver`).
+
+    Each chunk of shifts runs one batched block-Thomas factorization
+    (m host-dispatched steps of [B,s,s] dense device ops) and stores the
+    block inverses, after which any number of refinement re-solves are
+    matmul-only.  Mixed precision: f32 factorization + exact complex128
+    host residuals + iterative refinement, judged in the row-equilibrated
+    norm (the factorization itself runs on the equilibrated system)."""
+
+    def __init__(self, family, chunk: Optional[int] = None,
+                 target: Optional[int] = None,
+                 refine_sweeps: int = 4, refine_tol: float = 1e-11):
+        import scipy.sparse as sp
+        self.family = family
+        S = family._stack()
+        self.n = int(S.shape[0])
+        self.K = int(S.values.shape[0])
+        self.nnz = int(S.nnz)
+        self.refine_sweeps, self.refine_tol = refine_sweeps, refine_tol
+        cdt = device_complex_dtype()
+        self._rdt = np.float32 if cdt == np.complex64 else np.float64
+        self._sp = sp
+        self._indptr = np.asarray(S.indptr)
+        self._indices = np.asarray(S.indices)
+        self._values128 = np.asarray(S.values, np.complex128)
+        rows = np.asarray(S.row_ids(), np.int64)
+        self._rows = rows
+        part = SlabPartition(S.indptr, S.indices, self.n, target=target)
+        self.part = part
+        m, s = part.m, part.smax
+        si, d, rl, cl = part.entry_destinations(rows, self._indices)
+        # per-slab scatter maps, padded to the widest slab: (eidx into the
+        # data vector [nnz]+sentinel, dest into the [3*s*s] block panel
+        # +dump slot).  Sentinel data is 0 so dump-slot collisions add 0.
+        counts = np.bincount(si, minlength=m)
+        self.emax = int(counts.max())
+        eidx = np.full((m, self.emax), self.nnz, np.int32)
+        dest = np.full((m, self.emax), 3 * s * s, np.int32)
+        order = np.argsort(si, kind="stable")
+        flat_dest = ((d * s + rl) * s + cl).astype(np.int32)
+        pos = np.zeros(m, np.int64)
+        off = np.concatenate([[0], np.cumsum(counts)])
+        for i in range(m):
+            sl = order[off[i]:off[i + 1]]
+            eidx[i, :len(sl)] = sl
+            dest[i, :len(sl)] = flat_dest[sl]
+        self._eidx, self._dest = eidx, dest
+        # per-slab RHS row map (new-order rows; sentinel row n is zero)
+        rmap = np.full((m, s), self.n, np.int32)
+        for i in range(m):
+            rows_i = part.perm[part.starts[i]:part.starts[i + 1]]
+            rmap[i, :len(rows_i)] = rows_i
+        self._rmap = rmap
+        self._chunk = chunk
+        self.timings = {"prep_s": 0.0, "device_s": 0.0, "residual_s": 0.0,
+                        "factor_steps": 0, "resolve_steps": 0}
+
+    # -- host helpers ------------------------------------------------------
+
+    def coefficients(self, zs) -> np.ndarray:
+        L = self.family
+        eig = L.eigval
+        saved = L.params[eig]
+        out = np.zeros((len(zs), self.K), np.complex128)
+        for i, z in enumerate(np.asarray(zs)):
+            L.params[eig] = complex(z)
+            out[i] = L.coefficients({})
+        L.params[eig] = saved
+        return out
+
+    def _host_csr(self, coeff):
+        data = coeff @ self._values128
+        return self._sp.csr_matrix((data, self._indices, self._indptr),
+                                   shape=(self.n, self.n))
+
+    def _auto_chunk(self) -> int:
+        per_shift = (2 * self.part.m * self.part.smax ** 2    # Dtinv planes
+                     + 2 * self.part.m * self.part.smax * 8   # y planes
+                     ) * (4 if self._rdt == np.float32 else 8)
+        return int(max(1, min(16, SLAB_BUDGET // per_shift)))
+
+    def default_group(self, l: int) -> int:
+        """Natural shift-group size for contour drivers (one chunk)."""
+        return self._chunk or self._auto_chunk()
+
+    def _planes(self, x):
+        x = np.asarray(x)
+        return (np.ascontiguousarray(x.real).astype(self._rdt),
+                np.ascontiguousarray(x.imag).astype(self._rdt))
+
+    def _equilibrate(self, coeffs):
+        """Per-shift row scalings 1/max|row| of L(z) ([B, n]) and the
+        scaled data planes ([B, nnz+1], sentinel 0 appended)."""
+        B = coeffs.shape[0]
+        data = coeffs @ self._values128                    # [B, nnz]
+        absd = np.abs(data)
+        srow = np.empty((B, self.n))
+        seg = np.maximum.reduceat(absd, self._indptr[:-1], axis=1)
+        empty = np.diff(self._indptr) == 0
+        seg[:, empty] = 1.0
+        srow[:] = 1.0 / np.where(seg == 0, 1.0, seg)
+        data *= srow[:, self._rows]
+        dpad = np.concatenate([data, np.zeros((B, 1), data.dtype)], axis=1)
+        return srow, dpad
+
+    # -- device sweeps -----------------------------------------------------
+
+    def _factor_solve_chunk(self, dpad, bsc):
+        """Factorize + solve one chunk: ``dpad`` [B, nnz+1] equilibrated
+        data, ``bsc`` [B, n+1, l] equilibrated RHS (row n zero).  Returns
+        (X [B, n, l] host c128, device buffers (DTr, DTi) for re-solves)."""
+        m, s = self.part.m, self.part.smax
+        B, l = bsc.shape[0], bsc.shape[2]
+        dr, di = self._planes(dpad)
+        br, bi = self._planes(bsc)
+        DTr = jnp.zeros((m, B, s, s), self._rdt)
+        DTi = jnp.zeros((m, B, s, s), self._rdt)
+        Yr = jnp.zeros((m, B, s, l), self._rdt)
+        Yi = jnp.zeros((m, B, s, l), self._rdt)
+        Cr = jnp.zeros((B, s, s), self._rdt)
+        Ci = jnp.zeros((B, s, s), self._rdt)
+        yr = jnp.zeros((B, s, l), self._rdt)
+        yi = jnp.zeros((B, s, l), self._rdt)
+        for i in range(m):
+            DTr, DTi, Yr, Yi, Cr, Ci, yr, yi = _fwd_step(
+                DTr, DTi, Yr, Yi, Cr, Ci, yr, yi, dr, di, br, bi,
+                self._eidx[i], self._dest[i], self._rmap[i],
+                np.int32(self.part.sizes[i]), np.int32(i), s=s, B=B)
+        self.timings["factor_steps"] += m
+        X = self._backward(DTr, DTi, Yr, Yi, dr, di, B, l)
+        return X, (DTr, DTi, dr, di)
+
+    def _backward(self, DTr, DTi, Yr, Yi, dr, di, B, l):
+        m, s = self.part.m, self.part.smax
+        Xr = jnp.zeros((m, B, s, l), self._rdt)
+        Xi = jnp.zeros((m, B, s, l), self._rdt)
+        xr = jnp.zeros((B, s, l), self._rdt)
+        xi = jnp.zeros((B, s, l), self._rdt)
+        for i in range(m - 1, -1, -1):
+            Xr, Xi, xr, xi = _bwd_step(
+                Xr, Xi, xr, xi, DTr, DTi, Yr, Yi, dr, di,
+                self._eidx[i], self._dest[i], np.int32(i), s=s, B=B)
+        Xh = (np.asarray(Xr, np.float64)
+              + 1j * np.asarray(Xi, np.float64))        # [m, B, s, l]
+        # un-permute slab rows back to original DOF order
+        X = np.empty((B, self.n, l), np.complex128)
+        flat = Xh.transpose(1, 0, 2, 3).reshape(B, m * s, l)
+        rows_new = (self._rmap != self.n)
+        src = (np.arange(m)[:, None] * s
+               + np.arange(s)[None, :])[rows_new]       # flat slab slots
+        X[:, self._rmap[rows_new], :] = flat[:, src, :]
+        return X
+
+    def _resolve_chunk(self, fact, bsc, l):
+        """Re-solve with stored inverses (matmul-only sweeps)."""
+        DTr, DTi, dr, di = fact
+        m, s = self.part.m, self.part.smax
+        B = bsc.shape[0]
+        br, bi = self._planes(bsc)
+        Yr = jnp.zeros((m, B, s, l), self._rdt)
+        Yi = jnp.zeros((m, B, s, l), self._rdt)
+        yr = jnp.zeros((B, s, l), self._rdt)
+        yi = jnp.zeros((B, s, l), self._rdt)
+        for i in range(m):
+            Yr, Yi, yr, yi = _resolve_fwd_step(
+                Yr, Yi, yr, yi, DTr, DTi, dr, di, br, bi,
+                self._eidx[i], self._dest[i], self._rmap[i],
+                np.int32(i), s=s, B=B)
+        self.timings["resolve_steps"] += m
+        return self._backward(DTr, DTi, Yr, Yi, dr, di, B, l)
+
+    # -- public API --------------------------------------------------------
+
+    def solve(self, zs, V, output: bool = False, X0=None):
+        """X[j] = L(z_j)⁻¹ V to complex128 accuracy (same contract as
+        ShiftedPanelSolver.solve; ``X0`` accepted for interface parity and
+        ignored — a direct solve needs no warm start)."""
+        zs = np.asarray(zs)
+        Sn = len(zs)
+        V = np.asarray(V, np.complex128)
+        if V.ndim == 2:
+            Bfull = np.broadcast_to(V[None], (Sn,) + V.shape).copy()
+        else:
+            Bfull = np.ascontiguousarray(V)              # [S, n, l]
+        l = Bfull.shape[2]
+        coeffs = self.coefficients(zs)
+        cmax = self._chunk or self._auto_chunk()
+        X = np.empty((Sn, self.n, l), np.complex128)
+        relres = np.empty((Sn, l))
+        s0 = 0
+        while s0 < Sn:
+            rem = Sn - s0
+            chunk = min(cmax, 1 << (rem - 1).bit_length())
+            s1 = min(s0 + chunk, Sn)
+            pad = chunk - (s1 - s0)
+            c = coeffs[s0:s1]
+            b = Bfull[s0:s1]
+            if pad:
+                c = np.concatenate([c, np.repeat(c[-1:], pad, 0)])
+                b = np.concatenate([b, np.repeat(b[-1:], pad, 0)])
+            t0 = time.perf_counter()
+            mats = [self._host_csr(c[j]) for j in range(chunk)]
+            srow, dpad = self._equilibrate(c)
+            bsc = np.zeros((chunk, self.n + 1, l), np.complex128)
+            bsc[:, :self.n] = b * srow[:, :, None]
+            bnorm = np.linalg.norm(bsc, axis=1)          # [B, l] scaled
+            bnorm = np.where(bnorm == 0, 1.0, bnorm)
+            t1 = time.perf_counter()
+            Xc, fact = self._factor_solve_chunk(dpad, bsc)
+            t2 = time.perf_counter()
+            # exact c128 residuals in the equilibrated norm + refinement
+            best = Xc
+            R = np.empty_like(bsc)
+            best_res = np.empty((chunk, l))
+            for j in range(chunk):
+                R[j, :self.n] = (b[j] - mats[j] @ best[j]) * srow[j][:, None]
+                R[j, self.n] = 0.0
+                best_res[j] = np.linalg.norm(R[j], axis=0) / bnorm[j]
+            t3 = time.perf_counter()
+            prev_max = np.inf
+            for sweep in range(self.refine_sweeps):
+                cur_max = float(best_res.max())
+                if output:
+                    print(f"slab refine sweep {sweep}: max relres "
+                          f"{cur_max:.3e}")
+                if cur_max < self.refine_tol or cur_max > 0.25 * prev_max:
+                    break
+                prev_max = cur_max
+                dX = self._resolve_chunk(fact, R, l)
+                cand = best + dX
+                for j in range(chunk):
+                    Rc = np.zeros_like(R[j])
+                    Rc[:self.n] = ((b[j] - mats[j] @ cand[j])
+                                   * srow[j][:, None])
+                    rc = np.linalg.norm(Rc, axis=0) / bnorm[j]
+                    upd = rc < best_res[j]
+                    best[j][:, upd] = cand[j][:, upd]
+                    best_res[j][upd] = rc[upd]
+                    R[j][:, upd] = Rc[:, upd]
+            t4 = time.perf_counter()
+            self.timings["prep_s"] += t1 - t0
+            self.timings["device_s"] += (t2 - t1) + (t4 - t3)
+            self.timings["residual_s"] += t3 - t2
+            X[s0:s1] = best[:s1 - s0]
+            relres[s0:s1] = best_res[:s1 - s0]
+            del fact
+            s0 = s1
+        info = {"relres": relres, "max_relres": float(relres.max()),
+                "timings": dict(self.timings)}
+        return X, info
+
+
+__all__ = ["SlabSolver", "SlabPartition", "bfs_levels", "SLAB_BUDGET"]

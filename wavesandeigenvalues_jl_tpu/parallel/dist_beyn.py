@@ -52,14 +52,51 @@ def _coeff_batch(L: OperatorFamily, zs: np.ndarray) -> np.ndarray:
 DENSE_BEYN_MAX_DIM = 4096
 
 
+#: GMRES-only solver keywords — their presence pins ``method="auto"`` to
+#: the iterative panel path
+_GMRES_KW = {"bs", "tol", "restart", "max_restarts", "coarse"}
+
+
+def _make_matfree_solver(L: OperatorFamily, method: str, solver_kw: dict):
+    """Construct the matrix-free panel solver backend.
+
+    ``method``: "slab" (block-tridiagonal direct, :mod:`..ops.slab_solve`),
+    "gmres" (multigrid-preconditioned iterative,
+    :mod:`..ops.panel_solve`), or "auto" — slab when the BFS slab
+    partition is favorable and no GMRES-specific keyword was passed."""
+    from ..ops.panel_solve import ShiftedPanelSolver
+    from ..ops.slab_solve import SlabSolver
+    if method == "auto":
+        if _GMRES_KW & set(solver_kw):
+            method = "gmres"
+        else:
+            probe = SlabSolver(L, **solver_kw)
+            # favorable: enough slabs to amortize, blocks small enough
+            # for the batched dense factorization to stay MXU-friendly
+            if probe.part.m >= 8 and probe.part.smax <= 2048:
+                return probe
+            method = "gmres"
+    if method == "slab":
+        return SlabSolver(L, **solver_kw)
+    if method == "gmres":
+        return ShiftedPanelSolver(L, **solver_kw)
+    raise ValueError(f"unknown matfree method {method!r} "
+                     "(expected 'slab', 'gmres' or 'auto')")
+
+
 def matfree_moments(L: OperatorFamily, Gamma, V=None, l=5, K=1, N=16,
                     output=False, group: Optional[int] = None,
-                    checkpoint: Optional[str] = None, **solver_kw):
+                    checkpoint: Optional[str] = None, method: str = "auto",
+                    **solver_kw):
     """Moment matrices via the matrix-free device panel solver — the
-    scalable path (no [d,d] materialization anywhere; see
-    :mod:`..ops.panel_solve`).  Solver keywords (``bs``, ``tol``,
-    ``restart``, ``chunk``, ``coarse``, …) pass through to
-    :class:`..ops.panel_solve.ShiftedPanelSolver`.
+    scalable path (no [d,d] materialization anywhere).  ``method``
+    selects the backend: "slab" = block-tridiagonal direct solver
+    (:mod:`..ops.slab_solve`, the fast path for mesh operators),
+    "gmres" = multigrid-preconditioned panel GMRES
+    (:mod:`..ops.panel_solve`), "auto" picks slab when the partition is
+    favorable.  Solver keywords (``chunk``, ``refine_tol``, …; for
+    gmres also ``bs``, ``tol``, ``restart``, ``coarse``) pass through to
+    the backend constructor.
 
     Nodes are processed in groups of ``group`` shifts (default: the
     solver chunk) and reduced into the moment sums immediately, bounding
@@ -72,7 +109,6 @@ def matfree_moments(L: OperatorFamily, Gamma, V=None, l=5, K=1, N=16,
     import os
 
     from ..nlevp.solvers import initialize_V
-    from ..ops.panel_solve import ShiftedPanelSolver
     d = L.size
     if V is None:
         V = initialize_V(d, l)
@@ -80,8 +116,8 @@ def matfree_moments(L: OperatorFamily, Gamma, V=None, l=5, K=1, N=16,
     d, l = V.shape
     zs, ws = gauss_nodes(Gamma, N)
     B = len(zs)
-    solver = ShiftedPanelSolver(L, **solver_kw)
-    g = group or solver._chunk or solver._auto_chunk(l)
+    solver = _make_matfree_solver(L, method, solver_kw)
+    g = group or solver.default_group(l)
     powers = ws[:, None] * zs[:, None] ** np.arange(2 * K)[None, :]
     A = np.zeros((d, l, 2 * K), np.complex128)
     start = 0
@@ -199,14 +235,20 @@ def batched_moments(L: OperatorFamily, Gamma, V=None, l=5, K=1, N=16,
 def beyn_batched(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0,
                  rtol=0.0, pos_test_flag=True, mesh: Optional[Mesh] = None,
                  axis: str = "shift", dtype=None, dense: Optional[bool] = None,
-                 output=False, **solver_kw):
+                 output=False, method: str = "auto", res_tol: float = None,
+                 **solver_kw):
     """Beyn's algorithm with device-batched (and optionally chip-sharded)
     quadrature (drop-in for nlevp.solvers.beyn; ``tol``/``rtol`` are the
     absolute/relative singular-value cutoffs of the Hankel SVD filter).
 
     ``dense``: True → batched dense LU per node (fastest below ~4k DOF);
-    False → matrix-free GMRES panel solves (scales with nnz, the regime the
-    reference serves with UMFPACK, beyn.jl:62-74); None → auto by size."""
+    False → matrix-free panel solves (scales with nnz, the regime the
+    reference serves with UMFPACK, beyn.jl:62-74); None → auto by size.
+    ``method``: matrix-free backend ("slab"/"gmres"/"auto", see
+    :func:`matfree_moments`).  ``res_tol``: per-eigenpair sparse residual
+    cutoff ‖L(ω)v‖/(‖L‖‖v‖); None keeps every σ-filtered candidate and
+    only reports residuals (see :func:`..nlevp.solvers.verify_eigenpairs`)."""
+    from ..nlevp.solvers import verify_eigenpairs
     d = L.size
     # minimum augmentation so the Hankel blocks can hold l probes —
     # identical to the reference's K=max(K, l÷d + (l%d≠0)) at beyn.jl:39
@@ -214,14 +256,23 @@ def beyn_batched(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0,
     if dense is None:
         dense = d <= DENSE_BEYN_MAX_DIM
     if dense:
+        if solver_kw:
+            import warnings
+            warnings.warn(
+                "beyn_batched: dense path selected — matrix-free solver "
+                f"keywords {sorted(solver_kw)} are ignored; pass "
+                "dense=False to force the matrix-free path",
+                stacklevel=2)
         A = batched_moments(L, Gamma, l=l, K=K, N=N, mesh=mesh, axis=axis,
                             dtype=dtype)
     else:
         A, _info = matfree_moments(L, Gamma, l=l, K=K, N=N, output=output,
-                                   **solver_kw)
+                                   method=method, **solver_kw)
     Om, Pv = moments2eigs([A], tol_sigma=tol, rtol_sigma=rtol)
     if pos_test_flag:
         Om, Pv = pos_test(Om, Pv, Gamma)
+    Om, Pv, res = verify_eigenpairs(L, Om, Pv, res_tol=res_tol,
+                                    output=output)
     return Om, Pv
 
 
@@ -266,15 +317,19 @@ def dist_moments(L: OperatorFamily, Gamma, mesh: Mesh, n_row_parts: int,
 
 def beyn_dist(L: OperatorFamily, Gamma, mesh: Mesh, n_row_parts: int,
               l=5, K=1, N=16, tol=0.0, rtol=0.0, pos_test_flag=True,
-              **kw):
+              res_tol: Optional[float] = None, output=False, **kw):
     """Beyn's algorithm with every quadrature solve running distributed
-    on the (shift × row) device mesh (see :func:`dist_moments`)."""
+    on the (shift × row) device mesh (see :func:`dist_moments`).
+    ``res_tol``: per-eigenpair residual cutoff (verify_eigenpairs)."""
+    from ..nlevp.solvers import verify_eigenpairs
     d = L.size
     K = max(K, (l + d - 1) // d)
     A = dist_moments(L, Gamma, mesh, n_row_parts, l=l, K=K, N=N, **kw)
     Om, Pv = moments2eigs([A], tol_sigma=tol, rtol_sigma=rtol)
     if pos_test_flag:
         Om, Pv = pos_test(Om, Pv, Gamma)
+    Om, Pv, _res = verify_eigenpairs(L, Om, Pv, res_tol=res_tol,
+                                     output=output)
     return Om, Pv
 
 
