@@ -118,3 +118,56 @@ def test_dist_two_grid_gmres():
         x_ref = A.solve(B[0, j])
         err = np.linalg.norm(X[0, j] - x_ref) / np.linalg.norm(x_ref)
         assert err < 1e-8, err
+
+
+def test_dist_multigrid_gmres():
+    """Distributed MULTILEVEL V-cycle: fine level row-sharded, coarser
+    hierarchy replicated behind one psum restriction per application —
+    matches serial solves to 1e-8 on a two-octosplit FEM operator
+    (VERDICT r2 #7)."""
+    from wavesandeigenvalues_jl_tpu.mesh.generate import rijke_mesh
+    from wavesandeigenvalues_jl_tpu.mesh.refine import (octosplit,
+                                                        p1_prolongation)
+    from wavesandeigenvalues_jl_tpu.models import discretize
+    from wavesandeigenvalues_jl_tpu.ops.panel_solve import MultiGrid
+
+    m0 = rijke_mesh(n_rings=2, nz_cold=5, nz_hot=5)
+    meshes, Ps = [m0], []
+    for _ in range(2):
+        Ps.append(p1_prolongation(meshes[-1]))
+        meshes.append(octosplit(meshes[-1]))
+    fld = lambda m: m.generate_field(
+        lambda x, y, z: np.where(z < 0, 347.0, 694.0))
+    ds = {"Interior": ("interior", ()),
+          "Outlet": ("admittance", ("Y", 1e15))}
+    fams = [discretize(m, ds, fld(m)) for m in meshes]
+    Lf = fams[-1]
+    mg = MultiGrid(fams[-2::-1], Ps[::-1], bs=16)
+    mesh = Mesh(np.array(jax.devices()), ("row",))
+    part = partition_stack(Lf._stack(), mesh.shape["row"])
+    solve = make_dist_gmres(part, mesh, bs=16, tol=1e-11, restart=25,
+                            max_restarts=8, coarse=mg)
+    z = 2 * np.pi * (300 + 5j)
+    Lf.params[Lf.eigval] = z
+    coeffs = Lf.coefficients({})[None]
+    rng = np.random.default_rng(3)
+    d = Lf.size
+    B = (rng.standard_normal((1, 2, d))
+         + 1j * rng.standard_normal((1, 2, d)))
+    X, res = solve(coeffs, B)
+    A = factorize(Lf(z))
+    for j in range(2):
+        x_ref = A.solve(B[0, j])
+        err = np.linalg.norm(X[0, j] - x_ref) / np.linalg.norm(x_ref)
+        assert err < 1e-8, err
+
+
+def test_dist_gmres_coarse_type_error():
+    """A wrong ``coarse`` type fails fast with a clear message instead of
+    an opaque AttributeError deep in the shard_map build (ADVICE r2)."""
+    from wavesandeigenvalues_jl_tpu.nlevp import gallery
+    L, _ = gallery.rijke_tube(48)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("row",))
+    part = partition_stack(L._stack(), 2)
+    with pytest.raises(TypeError, match="CoarseGrid or MultiGrid"):
+        make_dist_gmres(part, mesh, coarse=object())

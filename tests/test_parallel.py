@@ -148,7 +148,14 @@ def test_weak_scaling_harness():
         assert r["rows"] == 512 * r["n_devices"]
         assert r["nnz_per_s"] > 0
         assert 0 < r["efficiency_vs_1"]
+        assert r["baseline_n_devices"] == 1
     assert recs[0]["efficiency_vs_1"] == 1.0
+    # baseline not measured -> the vs-1 field must be absent, not mislabeled
+    recs2 = spmv_scaling_report(device_counts=(2, 4),
+                                rows_per_device=512, reps=2, verify=False)
+    assert "efficiency_vs_1" not in recs2[0]
+    assert recs2[0]["baseline_n_devices"] == 2
+    assert recs2[0]["efficiency_vs_smallest"] == 1.0
 
 
 def test_dist_spmm_panel(row_mesh):

@@ -713,9 +713,33 @@ def verify_eigenpairs(L: OperatorFamily, Om, P, res_tol: Optional[float]
     return Om, P, res
 
 
+def _moments_backend(L: OperatorFamily, Gamma, V, K: int, N: int,
+                     backend: str, output=False,
+                     checkpoint: Optional[str] = None, **solver_kw):
+    """Moment matrices through the selected quadrature backend.
+
+    ``backend``: "host" = serial sparse-LU loop
+    (:func:`compute_moment_matrices`, the reference's UMFPACK model);
+    "slab" / "gmres" / "matfree" = device matrix-free panel solves
+    (:func:`..parallel.dist_beyn.matfree_moments`); "dense" = batched
+    dense device LU (:func:`..parallel.dist_beyn.batched_moments`)."""
+    if backend == "host":
+        return compute_moment_matrices(L, Gamma, V, K=K, N=N, output=output,
+                                       checkpoint=checkpoint)
+    from ..parallel.dist_beyn import batched_moments, matfree_moments
+    if backend == "dense":
+        return batched_moments(L, Gamma, V=V, K=K, N=N)
+    method = "auto" if backend == "matfree" else backend
+    A, _info = matfree_moments(L, Gamma, V=V, K=K, N=N, output=output,
+                               checkpoint=checkpoint, method=method,
+                               **solver_kw)
+    return A
+
+
 def beyn(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0, rtol=0.0,
          pos_test_flag=True, output=False, random=False,
-         checkpoint: Optional[str] = None, res_tol: Optional[float] = None):
+         checkpoint: Optional[str] = None, res_tol: Optional[float] = None,
+         backend: str = "host", **solver_kw):
     """Beyn's contour-integral global eigensolver (beyn.jl:34-110).
 
     Finds all eigenvalues inside the polygon Γ; follows the pseudocode of
@@ -724,12 +748,16 @@ def beyn(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0, rtol=0.0,
     operators).  ``checkpoint``: optional path to persist/resume the
     quadrature (see :func:`compute_moment_matrices`).  ``res_tol``:
     per-eigenpair residual cutoff (see :func:`verify_eigenpairs`; None
-    keeps every candidate)."""
+    keeps every candidate).  ``backend``: where the quadrature solves
+    run — "host" (serial sparse LU, the reference's model), "slab" /
+    "gmres" / "matfree" (device matrix-free panels, scalable), "dense"
+    (batched device LU, small operators); extra keywords pass to the
+    device solver."""
     d = L.size
     K = max(K, (l + d - 1) // d)
     V = initialize_V(d, l, random=random)
-    A = compute_moment_matrices(L, Gamma, V, K=K, N=N, output=output,
-                                checkpoint=checkpoint)
+    A = _moments_backend(L, Gamma, V, K, N, backend, output=output,
+                         checkpoint=checkpoint, **solver_kw)
     Om, P, S = moments2eigs(A, tol_sigma=tol, rtol_sigma=rtol,
                             return_sigma=True)
     if output:
@@ -763,7 +791,14 @@ def generate_subspace(L: OperatorFamily, Y, tol, Z, N: Optional[int] = None,
     """Orthonormal basis Q such that ‖L(z)(Q x_z) − Y‖ < tol for every
     sample point z (generate_subspace, beyn.jl:429-569).  Z is either a
     list of sample points or, if N is given, polygon vertices that are
-    expanded into N Gauss-Legendre nodes per edge."""
+    expanded into N Gauss-Legendre nodes per edge.
+
+    Fully matrix-free: the projected operator QᴴL(z)Q is built from
+    sparse CSR matmats (O(nnz·q) per sample) and the exact solves go
+    through :func:`..ops.linsolve.factorize` (sparse LU above the dense
+    cutoff) — no [d,d] materialization, so the subspace compression
+    works at the same scale as the solvers it feeds (the reference's
+    one mechanism for compressing large problems, beyn.jl:429-595)."""
     Y = np.asarray(Y, dtype=CDTYPE)
     if Y.ndim == 1:
         Y = Y[:, None]
@@ -784,14 +819,13 @@ def generate_subspace(L: OperatorFamily, Y, tol, Z, N: Optional[int] = None,
         if Q.shape[1] >= d:
             break
         Lz = L(z)
-        Ld = Lz.to_dense()
-        QLQ = Q.conj().T @ (Ld @ Q)
+        LQ = Lz @ Q                       # sparse matmat, O(nnz·q)
+        QLQ = Q.conj().T @ LQ
         QY = Q.conj().T @ Y
         F = None
         for kk in range(k):
             x = np.linalg.solve(QLQ, QY[:, kk])
-            X = Q @ x
-            res = np.linalg.norm(Ld @ X - Y[:, kk])
+            res = np.linalg.norm(LQ @ x - Y[:, kk])
             if res > tol:
                 if F is None:
                     F = factorize(Lz, check=True)
@@ -803,10 +837,12 @@ def generate_subspace(L: OperatorFamily, Y, tol, Z, N: Optional[int] = None,
                 nw = np.linalg.norm(w)
                 if nw > 1e-14:
                     Q = np.concatenate([Q, (w / nw)[:, None]], axis=1)
-                    QLQ = Q.conj().T @ (Ld @ Q)
+                    LQ = np.concatenate([LQ, (Lz @ (w / nw))[:, None]],
+                                        axis=1)
+                    QLQ = Q.conj().T @ LQ
                     QY = Q.conj().T @ Y
                 x = np.linalg.solve(QLQ, QY[:, kk])
-                res = np.linalg.norm(Ld @ (Q @ x) - Y[:, kk])
+                res = np.linalg.norm(LQ @ x - Y[:, kk])
             resnorm.append(res)
     return Q, np.asarray(resnorm)
 
@@ -817,13 +853,18 @@ def generate_subspace(L: OperatorFamily, Y, tol, Z, N: Optional[int] = None,
 
 def solve(L: OperatorFamily, Gamma, dl=1, N=16, tol=1e-8, eigvals=None,
           maxcycles=1, nev=1, max_outer_cycles=1, atol_sigma=1e-12,
-          rtol_sigma=1e-8, loglevel=0):
+          rtol_sigma=1e-8, loglevel=0, backend: str = "host", **solver_kw):
     """Hybrid solver: low-order Beyn integral → local refinement of each
     estimate → analytic rank-one correction of the moment matrices with the
     converged eigenpairs → repeat; the outer loop grows the search space by
     Δl columns.  (solve, solver.jl:36-184; the reference's dangling
     ``mehrmann`` call is replaced by :func:`householder`, which returns the
-    adjoint eigenvectors the moment correction needs.)"""
+    adjoint eigenvectors the moment correction needs.)
+
+    ``backend`` routes the contour quadrature ("host" serial sparse LU /
+    "slab" / "gmres" / "matfree" device panels / "dense" batched device
+    LU — see :func:`_moments_backend`); the local refinement keeps the
+    host factorization path."""
     if eigvals is None:
         eigvals = {}
     d = L.size
@@ -837,7 +878,8 @@ def solve(L: OperatorFamily, Gamma, dl=1, N=16, tol=1e-8, eigvals=None,
         for ll, row in enumerate(rows):
             V[row, ll] = 1.0
         probe_rows.append(rows)
-        A.append(compute_moment_matrices(L, Gamma, V, K=1, N=N))
+        A.append(_moments_backend(L, Gamma, V, 1, N, backend,
+                                  output=loglevel >= 2, **solver_kw))
         if l > dl:
             _, _, S = moments2eigs(A, return_sigma=True)
             sigma_max, sigma0, sigma = max(sigma_max, S.max()), S.max(), 0.0

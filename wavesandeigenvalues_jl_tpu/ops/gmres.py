@@ -50,7 +50,8 @@ def gmres_impl(matvec: Callable, b: jnp.ndarray,
                x0: Optional[jnp.ndarray] = None, tol: float = 1e-8,
                restart: int = 40, max_restarts: int = 20,
                precond: Optional[Callable] = None,
-               reduce_fn: Optional[Callable] = None):
+               reduce_fn: Optional[Callable] = None,
+               stagnation: float = 0.9):
     """Unjitted GMRES(m) body — call this from *inside* an already-jitted
     program (fresh closures would defeat :func:`gmres`'s jit cache there);
     top-level callers use the jitted :func:`gmres` wrapper below.
@@ -59,7 +60,15 @@ def gmres_impl(matvec: Callable, b: jnp.ndarray,
     vectors are whole).  Under ``shard_map`` with row-sharded vectors pass
     ``lambda s: lax.psum(s, 'row')`` — every norm/dot here reduces through
     it, so the SAME Arnoldi body runs distributed (the small rotated
-    least-squares state is then replicated per shard)."""
+    least-squares state is then replicated per shard).
+
+    ``stagnation``: stop restarting when a restart improves the residual
+    by less than this factor (res >= stagnation·prev) — appropriate for
+    mixed-precision callers that recover accuracy by refinement, where
+    iterating at the dtype's attainable accuracy only burns matvecs.
+    Pass ``float('inf')`` to disable (restarted GMRES on indefinite
+    operators can plateau for a few restarts before converging; the
+    public :func:`gmres` wrapper defaults to disabled)."""
     dtype = b.dtype
     n = b.shape[0]
     m = restart
@@ -138,15 +147,14 @@ def gmres_impl(matvec: Callable, b: jnp.ndarray,
         return x_new
 
     tol_r = jnp.asarray(tol, rdtype)
+    stag_r = jnp.asarray(stagnation, rdtype)
 
     def cond(state):
         x, it, res, prev = state
-        # stop on convergence, budget, or stagnation (< 10% progress per
-        # restart — at the dtype's attainable accuracy more restarts only
-        # burn matvecs; callers recover precision by refinement)
+        # stop on convergence, budget, or stagnation (see docstring)
         return jnp.logical_and(
             jnp.logical_and(it < max_restarts, res > tol_r),
-            res < 0.9 * prev)
+            res < stag_r * prev)
 
     def step(state):
         x, it, res, _ = state
@@ -162,13 +170,16 @@ def gmres_impl(matvec: Callable, b: jnp.ndarray,
 
 
 gmres = partial(jax.jit, static_argnames=("matvec", "precond", "restart",
-                                          "max_restarts",
-                                          "reduce_fn"))(gmres_impl)
+                                          "max_restarts", "reduce_fn",
+                                          "stagnation"))(
+    partial(gmres_impl, stagnation=float("inf")))
 gmres.__doc__ = """Restarted GMRES(m) for A x = b with an optional RIGHT
 preconditioner (solves A M⁻¹ u = b, x = M⁻¹ u — residuals are true
 residuals).  Returns (x, relres, n_restarts).  Fully jit-compiled: the
 Arnoldi inner loop is fixed shape ``restart``; convergence is checked per
-restart in a `lax.while_loop`."""
+restart in a `lax.while_loop`.  The stagnation cutoff is DISABLED here
+(runs to tol or max_restarts); mixed-precision callers that refine on top
+pass an explicit ``stagnation`` factor (see :func:`gmres_impl`)."""
 
 
 def _block_diag_inv(rows, cols, data, n: int, bs: int) -> np.ndarray:
@@ -316,7 +327,8 @@ def solve_shifted_batch(family, zs, B, tol: float = 1e-8, restart: int = 60,
         # left scaling normalizes them so single precision converges
         # (right scaling leaves the huge rows in the residual norm).
         x, res, its = gmres(lambda x: dinv(spmv(x)), dinv(b_s), tol=tol,
-                            restart=restart, max_restarts=max_restarts)
+                            restart=restart, max_restarts=max_restarts,
+                            stagnation=0.9)
         # outputs leave the jitted program as float planes — complex jit
         # outputs cannot be fetched through the axon tunnel
         return jnp.real(x), jnp.imag(x), res

@@ -73,6 +73,13 @@ def make_dist_gmres(part: RowPartitionedEll, mesh: Mesh,
                     shift_axis: Optional[str] = None, bs: int = 32,
                     tol: float = 1e-10, restart: int = 80,
                     max_restarts: int = 40, dtype=None, coarse=None):
+    # ``coarse`` may also be an ops.panel_solve.MultiGrid: the FINE level
+    # stays row-sharded (halo SpMV + psum dots); the restricted residual
+    # psum-reduces into a REPLICATED coarse hierarchy whose V-cycle runs
+    # identically on every shard (coarse levels are ≥8× smaller per
+    # octosplit, so replication costs little memory and saves the
+    # inter-level halo machinery) — the standard at-scale multigrid
+    # layout.  One psum of size n₁ per preconditioner application.
     # NB restart length matters more than block-Jacobi block size on the
     # indefinite Helmholtz operators: GMRES(40) stagnates at ~3e-2 where
     # GMRES(80) reaches 1e-13 (437-DOF Rijke, Y=1e15 outlet).
@@ -155,7 +162,15 @@ def make_dist_gmres(part: RowPartitionedEll, mesh: Mesh,
             jax.lax.complex(br, bi)[:, :, 0])
         return jnp.real(X)[:, :, None], jnp.imag(X)[:, :, None], res
 
-    if coarse is not None:
+    from ..ops.panel_solve import CoarseGrid, MultiGrid
+    is_mg = isinstance(coarse, MultiGrid)
+    if coarse is not None and not is_mg and not isinstance(coarse,
+                                                           CoarseGrid):
+        raise TypeError(
+            f"coarse must be a CoarseGrid or MultiGrid, got "
+            f"{type(coarse).__name__} (build one from the octosplit "
+            "hierarchy via ops.panel_solve)")
+    if coarse is not None and not is_mg:
         nc = coarse.n_coarse
         if coarse.n_fine != part.n:
             raise ValueError("prolongation n_fine != operator dim")
@@ -232,6 +247,139 @@ def make_dist_gmres(part: RowPartitionedEll, mesh: Mesh,
                 jax.lax.complex(br, bi)[:, :, 0])
             return jnp.real(X)[:, :, None], jnp.imag(X)[:, :, None], res
 
+    if is_mg:
+        from ..ops.gmres import BatchedBlockDiagInv
+        mg = coarse
+        if mg.n_fine != part.n:
+            raise ValueError("prolongation n_fine != operator dim")
+        # fine → level-1 interpolation rows in partition order (shard-
+        # local prolongation; restriction = its scatter-add transpose,
+        # psum-reduced into the replicated level-1 vector)
+        pc0, pv0, _tc0, _tv0 = mg.xfers[0]
+        n1 = mg.levels[0][5] if mg.levels else mg.n_coarse
+        wp = pc0.shape[1]
+        pcl_h = np.zeros((Pn * m, wp), np.int32)
+        pvl_h = np.zeros((Pn * m, wp), np.float64)
+        pcl_h[:part.n] = pc0[part.perm]
+        pvl_h[:part.n] = np.real(pv0[part.perm])
+        pcl_h = pcl_h.reshape(Pn, m, wp)
+        pvl_h = pvl_h.reshape(Pn, m, wp).astype(rdt)
+        # replicated-hierarchy constants, closure-embedded as host numpy
+        # (axon: complex device constants cannot round-trip — ship planes)
+        lvl_consts = tuple(
+            (*_planes(values.astype(cdt), rdt),
+             ec.astype(np.int32), eg.astype(np.int32))
+            for (values, _r, _c, ec, eg, _nk) in mg.levels)
+        xfer_consts = tuple(
+            (pc.astype(np.int32), np.real(np.asarray(pv)).astype(rdt),
+             tc.astype(np.int32), np.real(np.asarray(tv)).astype(rdt))
+            for (pc, pv, tc, tv) in mg.xfers[1:])
+        lvl_dbb = [BatchedBlockDiagInv(rows, cols, nk, mg.bs)
+                   for (_v, rows, cols, _ec, _eg, nk) in mg.levels]
+        lvl_vals128 = [np.asarray(v, np.complex128)
+                       for (v, *_rest) in mg.levels]
+
+        @jax.jit
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(None, row_axis, None, None),
+                           P(None, row_axis, None, None),
+                           P(row_axis, None, None),
+                           P(row_axis, None, None), P(row_axis, None, None),
+                           shift_spec(), shift_spec(),
+                           shift_spec(row_axis, None, None, None),
+                           shift_spec(row_axis, None, None, None),
+                           shift_spec(None, None, None),    # lvl smoothers
+                           shift_spec(None, None), shift_spec(None, None),
+                           shift_spec(None, row_axis, None),
+                           shift_spec(None, row_axis, None)),
+                 out_specs=(shift_spec(None, row_axis, None),
+                            shift_spec(None, row_axis, None),
+                            shift_spec(None)),
+                 check_vma=False)
+        def _solve_mg(vr, vi, cols, pcl, pvl, cr, ci, dvr, dvi, lvl_dinv,
+                      air, aii, br, bi):
+            vals = jax.lax.complex(vr, vi)[:, 0]          # [K, m, w]
+            cloc = cols[0]
+            pcl_l = pcl[0]                                # [m, wp]
+            pvl_l = pvl[0]
+            n_lvl = len(xfer_consts)
+
+            def per_shift(c, Dinv, Dlv, Acinv, Bl):
+                data = jnp.tensordot(c, vals, axes=(0, 0))
+                pv = pvl_l.astype(data.dtype)
+                # replicated per-level shifted data in padded-ELL form
+                dells, lcols = [], []
+                for (lvr, lvi, lec, leg) in lvl_consts:
+                    dk = c @ jax.lax.complex(jnp.asarray(lvr),
+                                             jnp.asarray(lvi))
+                    dells.append(jnp.concatenate(
+                        [dk, jnp.zeros(1, dk.dtype)])[leg])
+                    lcols.append(lec)
+
+                def matvec(x):
+                    x_ext = halo_exchange(x, halo, row_axis)
+                    return local_spmv(data, cloc, x_ext)
+
+                def dinv(v):
+                    vp = jnp.zeros(npad, v.dtype).at[:m].set(v)
+                    out = jnp.einsum("bij,bj->bi", Dinv,
+                                     vp.reshape(nb, bs))
+                    return out.reshape(-1)[:m]
+
+                def spmv_k(k, x):
+                    return jnp.sum(dells[k] * x[lcols[k]], axis=1)
+
+                def dinv_k(k, v):
+                    Dk = Dlv[k][0]
+                    nbk, bsk = Dk.shape[0], Dk.shape[1]
+                    nk = lcols[k].shape[0]
+                    vp = jnp.zeros(nbk * bsk, v.dtype).at[:nk].set(v)
+                    out = jnp.einsum("bij,bj->bi", Dk,
+                                     vp.reshape(nbk, bsk))
+                    return out.reshape(-1)[:nk]
+
+                def vcycle(k, v):
+                    if k == n_lvl:
+                        return Acinv @ v
+                    xc, xvv, tc, tvv = xfer_consts[k]
+                    xv = xvv.astype(v.dtype)
+                    tv = tvv.astype(v.dtype)
+                    y = dinv_k(k, v)
+                    r = v - spmv_k(k, y)
+                    y = y + jnp.sum(
+                        xv * vcycle(k + 1,
+                                    jnp.sum(tv * r[tc], axis=1))[xc],
+                        axis=1)
+                    r = v - spmv_k(k, y)
+                    return y + dinv_k(k, r)
+
+                def minv(v):
+                    y = dinv(v)
+                    r = v - matvec(y)
+                    rc = jax.lax.psum(
+                        jnp.zeros(n1, r.dtype).at[pcl_l.reshape(-1)].add(
+                            (pv * r[:, None]).reshape(-1)), row_axis)
+                    vc = vcycle(0, rc)
+                    y = y + jnp.sum(pv * vc[pcl_l], axis=1)
+                    r = v - matvec(y)
+                    return y + dinv(r)
+
+                def one_col(b):
+                    x, res, _ = gmres_impl(
+                        lambda x: minv(matvec(x)), minv(b), tol=tol,
+                        restart=restart, max_restarts=max_restarts,
+                        reduce_fn=lambda s: jax.lax.psum(s, row_axis))
+                    return x, res
+                return jax.vmap(one_col)(Bl)
+
+            X, res = jax.vmap(per_shift)(
+                jax.lax.complex(cr, ci),
+                jax.lax.complex(dvr, dvi)[:, 0],
+                tuple((jax.lax.complex(a, b),) for (a, b) in lvl_dinv),
+                jax.lax.complex(air, aii),
+                jax.lax.complex(br, bi)[:, :, 0])
+            return jnp.real(X)[:, :, None], jnp.imag(X)[:, :, None], res
+
     def solve(coeffs, B):
         coeffs = np.asarray(coeffs, np.complex128)
         B = np.asarray(B, np.complex128)
@@ -244,6 +392,18 @@ def make_dist_gmres(part: RowPartitionedEll, mesh: Mesh,
                                  *_planes(coeffs.astype(cdt), rdt),
                                  *_planes(Dinv.astype(cdt), rdt),
                                  *_planes(Bs.astype(cdt), rdt))
+        elif is_mg:
+            from ..ops.panel_solve import acinv_batch
+            Acinv = acinv_batch(coarse, coeffs)            # [S, nc, nc]
+            lvl_dinv = tuple(
+                _planes(dbb.inv(coeffs @ v128).astype(cdt), rdt)
+                for dbb, v128 in zip(lvl_dbb, lvl_vals128))
+            Xr, Xi, res = _solve_mg(vals_r, vals_i, cols_h, pcl_h, pvl_h,
+                                    *_planes(coeffs.astype(cdt), rdt),
+                                    *_planes(Dinv.astype(cdt), rdt),
+                                    lvl_dinv,
+                                    *_planes(Acinv.astype(cdt), rdt),
+                                    *_planes(Bs.astype(cdt), rdt))
         else:
             from ..ops.panel_solve import acinv_batch
             Acinv = acinv_batch(coarse, coeffs)            # [S, nc, nc]

@@ -91,8 +91,16 @@ def spmv_scaling_report(device_counts: Sequence[int] = (1, 2, 4, 8),
             "nnz_per_s_per_device": float(A.nnz / dt / P),
         }
         if base is None:
+            # efficiency is relative to the SMALLEST measured device count
+            # (== 1 when 1 ∈ device_counts); the baseline is recorded per
+            # record so the normalization is never ambiguous
             base = rec["nnz_per_s_per_device"]
-        rec["efficiency_vs_1"] = float(rec["nnz_per_s_per_device"] / base)
+            base_P = int(P)
+        rec["baseline_n_devices"] = base_P
+        rec["efficiency_vs_smallest"] = float(
+            rec["nnz_per_s_per_device"] / base)
+        if base_P == 1:
+            rec["efficiency_vs_1"] = rec["efficiency_vs_smallest"]
         out.append(rec)
     return out
 
