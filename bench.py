@@ -262,6 +262,56 @@ def main():
         accuracy["device_abs_err_vs_ref_rad_s"] = abs(
             sol_d.params["ω"] - om_ref)
 
+    # --- honest HBM roofline: SpMM on a working set >> VMEM --------------
+    # (VERDICT r2 #4: the 33 MB bench operator stays cache-resident across
+    # timing reps, so "bytes/time" overshoots the HBM peak.  This section
+    # times the SAME kernel on an octosplit-refined operator whose block
+    # planes + RHS panel exceed VMEM by an order of magnitude — the regime
+    # big meshes actually live in.)
+    large = {}
+    try:
+        from wavesandeigenvalues_jl_tpu.mesh.generate import rijke_mesh
+        from wavesandeigenvalues_jl_tpu.mesh.refine import octosplit
+        from wavesandeigenvalues_jl_tpu.models import discretize as _disc
+
+        mesh_l = octosplit(rijke_mesh(n_rings=4, nz_cold=58, nz_hot=58))
+        gamma, R, Tu, Tb = 1.4, 287.05, 300.0, 1200.0
+        c_l = mesh_l.generate_field(
+            lambda x, y, z: np.where(z < 0, np.sqrt(gamma * R * Tu),
+                                     np.sqrt(gamma * R * Tb)))
+        Ll = _disc(mesh_l, {"Interior": ("interior", ()),
+                            "Outlet": ("admittance", ("Y", 1e15))}, c_l)
+        Ll.params["ω"] = 2 * np.pi * 300.0
+        Al = Ll.assemble({})
+        perm_l = cuthill_mckee(Al)
+        Alr = permute_csr(Al, perm_l)
+        nl = Alr.shape[0]
+        Xl = (rng.standard_normal((nl, NRHS))
+              + 1j * rng.standard_normal((nl, NRHS))).astype(np.complex64)
+        bsr_l = BsrOperator.from_csr(Alr, bs=best)
+        dt_l, app_l = time_bsr(bsr_l, use_pallas, NRHS, Xl, jax, reps=60)
+        ws = 8.0 * (bsr_l.blocks.size + bsr_l.n * NRHS * 2)
+        bw = HBM_BW.get(kind)
+        large = {
+            "dim": nl, "nnz": int(Al.nnz), "bs": best,
+            "working_set_MB": ws / 1e6,
+            "ms_per_apply": dt_l * 1e3,
+            "nnz_per_s": Al.nnz * NRHS / dt_l,
+            "achieved_GBps": ws / dt_l / 1e9,
+            "roofline_frac": (ws / bw) / dt_l if bw else None,
+            "note": ("working set exceeds VMEM -> streams HBM; this is "
+                     "the bandwidth-bound figure (small-op number above "
+                     "is cache-resident)"),
+        }
+        Yl = app_l(Xl)
+        Ahl = sp.csr_matrix((Alr.data, Alr.indices, Alr.indptr),
+                            shape=Alr.shape)
+        large["rel_err_vs_host"] = float(
+            np.linalg.norm(np.asarray(Yl)[:nl] - Ahl @ Xl)
+            / np.linalg.norm(Ahl @ Xl))
+    except Exception as e:  # surface, don't hide
+        large = {"error": f"{type(e).__name__}: {e}"}
+
     # --- committed big-mesh scale artifact (examples/scale_beyn.py) ------
     scale = None
     scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -271,6 +321,24 @@ def main():
             scale = json.load(f)
 
     best_rec = sweep[best]
+    # small headline summary of the scale artifact (full detail goes to
+    # the side file — BENCH_r02's parsed:null was caused by embedding it)
+    scale_summary = None
+    if scale:
+        w = scale.get("wall_s", {})
+        scale_summary = {
+            "fine_dim": scale.get("fine_dim"),
+            "contour_nodes": scale.get("contour_nodes"),
+            "beyn_fine_device_s": w.get("beyn_fine_device"),
+            "beyn_fine_host_lu_s": w.get("beyn_fine_host_lu"),
+            "device_vs_host_speedup": (
+                w["beyn_fine_host_lu"] / w["beyn_fine_device"]
+                if w.get("beyn_fine_host_lu") and w.get("beyn_fine_device")
+                else None),
+            "passive_hz_fine": scale.get("passive_hz_fine"),
+            "eig_residuals": scale.get("eig_residuals"),
+        }
+
     result = {
         "metric": "helmholtz_operator_spmm128_nnz_per_s_per_chip",
         "value": device_nnz_per_s,
@@ -278,27 +346,35 @@ def main():
         "vs_baseline": device_nnz_per_s / host_nnz_per_s,
         "extra": {
             "accuracy": accuracy,
-            "backend": backend,
             "device_kind": kind,
             "kernel": "pallas_bsr" if use_pallas else "xla_bsr",
             "dim": n,
             "nnz": nnz,
-            "nrhs": NRHS,
-            "bandwidth_after_cmk": bandwidth(Ar),
             "best_bs": best,
-            "bs_sweep": sweep,
-            "bsr_fill": best_rec["fill"],
-            "device_ms_per_apply": best_rec["ms_per_apply"],
             "useful_tflops": best_rec["useful_tflops"],
-            "effective_tflops": best_rec["padded_tflops"],
-            "achieved_GBps": best_rec["achieved_GBps"],
-            "roofline_frac": best_rec["roofline_frac"],
-            "bsr_vs_host_rel_err": bsr_rel_err,
-            "host_baseline_nnz_per_s": host_nnz_per_s,
-            "device_smoke": smoke,
-            "scale_artifact": scale,
+            "small_op_GBps_cache_resident": best_rec["achieved_GBps"],
+            "hbm_roofline": {k: large.get(k) for k in
+                             ("dim", "working_set_MB", "nnz_per_s",
+                              "achieved_GBps", "roofline_frac", "error")
+                             if k in large},
+            "scale": scale_summary,
         },
     }
+    # full detail (bs sweep, smoke, large-op record, SCALE.json embed)
+    # goes to a side file; the driver contract line stays small
+    detail = {
+        "bs_sweep": sweep,
+        "bandwidth_after_cmk": bandwidth(Ar),
+        "bsr_vs_host_rel_err": bsr_rel_err,
+        "host_baseline_nnz_per_s": host_nnz_per_s,
+        "device_smoke": smoke,
+        "large_operator": large,
+        "scale_artifact": scale,
+        "headline": result,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
     print(json.dumps(result))
 
 

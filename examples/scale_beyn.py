@@ -1,19 +1,27 @@
 """Big-mesh end-to-end scale run: matrix-free device Beyn on an
-octosplit-refined Rijke mesh (VERDICT r1 #5).
+octosplit-refined Rijke mesh.
 
 Octosplits the reference's Rijke_mm.msh ``--nsplit`` times (×2 →
-216,320 tets / ~44k P1 DOF — a size whose dense-node device path cannot
-even allocate one [d,d] factor), assembles the passive Helmholtz family,
-and solves the passive modes with the two-grid-preconditioned
-matrix-free device Beyn (ops/panel_solve.py).  No host densification
-anywhere on the path; the coarse level of the preconditioner is the
-ORIGINAL 1006-DOF mesh via composed P1 prolongations.
+216,320 tets / 42.5k P1 DOF), assembles the passive Helmholtz family,
+and solves the passive modes with the matrix-free device Beyn.  The
+default backend is the block-tridiagonal SLAB direct solver
+(ops/slab_solve.py): all contour-node factorizations run as batched
+dense MXU sweeps — the device re-design of the reference's per-node
+UMFPACK loop (beyn.jl:62-74).  ``--method gmres`` selects the
+multigrid-preconditioned iterative path instead (then the coarse level
+hierarchy comes from the original 1006-DOF mesh via composed P1
+prolongations).
 
-Writes SCALE.json at the repo root (bench.py surfaces it) with the
-passive eigenfrequencies, their drift vs the coarse-mesh values
-(physical mesh-convergence, expected ≲1 Hz), and wall times.
+Eigenpair acceptance is residual-verified (VERDICT r2 #2): per-mode
+sparse residuals ‖L(ω)v‖/(‖L‖‖v‖) are computed, reported in SCALE.json
+and candidates above ``--res-tol`` are dropped — no silent spurious
+modes.  ``--host-check`` additionally runs the same contour through
+scipy splu on the host (the reference's compute model) for a wall-time
+and eigenvalue cross-check.
 
-Usage:  python examples/scale_beyn.py [--nsplit 2] [--N 32] [--chunk 16]
+Writes SCALE.json at the repo root (bench.py surfaces a summary).
+
+Usage:  python examples/scale_beyn.py [--nsplit 2] [--N 32] [--method slab]
 """
 import argparse
 import json
@@ -32,9 +40,13 @@ def main():
     ap.add_argument("--nsplit", type=int, default=2)
     ap.add_argument("--N", type=int, default=32, help="Gauss nodes/edge")
     ap.add_argument("--l", type=int, default=8)
-    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--method", default="slab", choices=["slab", "gmres"])
+    ap.add_argument("--chunk", type=int, default=None)
     ap.add_argument("--restart", type=int, default=30)
     ap.add_argument("--max-restarts", type=int, default=10)
+    ap.add_argument("--res-tol", type=float, default=1e-6)
+    ap.add_argument("--host-check", action="store_true",
+                    help="host splu contour cross-check (slow)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -43,7 +55,8 @@ def main():
     from wavesandeigenvalues_jl_tpu.mesh import octosplit, read_mesh
     from wavesandeigenvalues_jl_tpu.mesh.refine import p1_prolongation
     from wavesandeigenvalues_jl_tpu.models import discretize
-    from wavesandeigenvalues_jl_tpu.nlevp.solvers import beyn
+    from wavesandeigenvalues_jl_tpu.nlevp.solvers import (beyn,
+                                                          verify_eigenpairs)
     from wavesandeigenvalues_jl_tpu.ops.panel_solve import (CoarseGrid,
                                                             MultiGrid)
     from wavesandeigenvalues_jl_tpu.parallel.dist_beyn import beyn_batched
@@ -67,53 +80,109 @@ def main():
     t_mesh = time.time() - t0
 
     t0 = time.time()
-    fams = [discretize(m, ds, fld(m)) for m in meshes]
-    Lc, Lf = fams[0], fams[-1]
-    t_assemble = time.time() - t0
-    # full multilevel hierarchy: each V-cycle level only bridges one 8×
-    # octosplit refinement (a single 2-level jump stalls near 1e-3)
-    if args.nsplit == 1:
-        cg = CoarseGrid(Lc, Ps[0])
+    if args.method == "gmres":
+        fams = [discretize(m, ds, fld(m)) for m in meshes]
+        Lc, Lf = fams[0], fams[-1]
     else:
-        cg = MultiGrid(fams[-2::-1], Ps[::-1], bs=64)
+        Lc = discretize(meshes[0], ds, fld(meshes[0]))
+        Lf = discretize(fine, ds, fld(fine))
+    t_assemble = time.time() - t0
+
+    solver_kw = {}
+    if args.method == "gmres":
+        # full multilevel hierarchy: each V-cycle level bridges one 8×
+        # octosplit refinement (a single 2-level jump stalls near 1e-3)
+        if args.nsplit == 1:
+            solver_kw["coarse"] = CoarseGrid(Lc, Ps[0])
+        else:
+            solver_kw["coarse"] = MultiGrid(fams[-2::-1], Ps[::-1], bs=64)
+        solver_kw["restart"] = args.restart
+        solver_kw["max_restarts"] = args.max_restarts
+    if args.chunk:
+        solver_kw["chunk"] = args.chunk
 
     Gamma = [2 * np.pi * (150 - 5j), 2 * np.pi * (1000 - 5j),
              2 * np.pi * (1000 + 5j), 2 * np.pi * (150 + 5j)]
 
     # coarse-mesh ground truth (host LU Beyn, BASELINE.md: ≈272/695 Hz)
     t0 = time.time()
-    Om_c, _ = beyn(Lc, Gamma, l=args.l, N=64, rtol=1e-12)
+    Om_c, _ = beyn(Lc, Gamma, l=args.l, N=64, rtol=1e-12, res_tol=args.res_tol)
     t_coarse = time.time() - t0
     f_coarse = np.sort(Om_c.real) / 2 / np.pi
 
     t0 = time.time()
-    Om, _ = beyn_batched(Lf, Gamma, l=args.l, N=args.N, rtol=1e-12,
-                         dense=False, output=True, coarse=cg,
-                         restart=args.restart,
-                         max_restarts=args.max_restarts, chunk=args.chunk,
-                         checkpoint="/tmp/scale_moments.npz")
+    Om, _P, res = beyn_batched(
+        Lf, Gamma, l=args.l, N=args.N, rtol=1e-12, dense=False,
+        output=True, method=args.method, res_tol=args.res_tol,
+        return_residuals=True,
+        checkpoint="/tmp/scale_moments.npz", **solver_kw)
     t_fine = time.time() - t0
-    f_fine = np.sort(Om.real) / 2 / np.pi
+    order = np.argsort(Om.real)
+    f_fine = Om.real[order] / 2 / np.pi
+    res = res[order]
 
     drift = [float(min(abs(f_fine - fc))) if len(f_fine) else None
              for fc in f_coarse]
     rec = {
         "nsplit": args.nsplit,
         "device_kind": jax.devices()[0].device_kind,
+        "method": args.method,
         "fine_dim": int(Lf.size),
         "fine_nnz": int(Lf._stack().nnz),
         "fine_tets": int(len(fine.tetrahedra)),
         "coarse_dim": int(Lc.size),
         "contour_nodes": 4 * args.N,
         "probe_cols": args.l,
+        "n_modes_fine": int(len(f_fine)),
+        "n_modes_coarse": int(len(f_coarse)),
         "passive_hz_fine": [float(f) for f in f_fine],
+        "eig_residuals": [float(r) for r in res],
+        "res_tol": args.res_tol,
         "passive_hz_coarse": [float(f) for f in f_coarse],
         "drift_vs_coarse_hz": drift,
         "wall_s": {"mesh": t_mesh, "assemble": t_assemble,
                    "beyn_fine_device": t_fine, "beyn_coarse_host": t_coarse},
-        "solver": {"restart": args.restart,
-                   "max_restarts": args.max_restarts, "chunk": args.chunk},
+        "solver": solver_kw if args.method == "gmres"
+        else {"method": "slab", "chunk": args.chunk},
     }
+    if "coarse" in rec["solver"]:
+        rec["solver"] = {k: v for k, v in rec["solver"].items()
+                         if k != "coarse"}
+
+    if args.host_check:
+        # the reference's compute model: one splu factorization per node
+        import scipy.sparse.linalg as spl
+        from wavesandeigenvalues_jl_tpu.nlevp.solvers import (
+            gauss_nodes, initialize_V, moments2eigs, pos_test)
+        zs, ws = gauss_nodes(Gamma, args.N)
+        V = initialize_V(Lf.size, args.l)
+        S = Lf._stack()
+        vals128 = np.asarray(S.values, np.complex128)
+        import scipy.sparse as sp
+        eig = Lf.eigval
+        t0 = time.time()
+        A = np.zeros((Lf.size, args.l, 2), np.complex128)
+        for z, w in zip(zs, ws):
+            Lf.params[eig] = complex(z)
+            data = Lf.coefficients({}) @ vals128
+            M = sp.csr_matrix((data, S.indices, S.indptr),
+                              shape=S.shape).tocsc()
+            X = spl.splu(M).solve(V)
+            A[:, :, 0] += w * X
+            A[:, :, 1] += w * z * X
+        Omh, Ph = moments2eigs([A], rtol_sigma=1e-12)
+        Omh, Ph = pos_test(Omh, Ph, Gamma)
+        Omh, Ph, resh = verify_eigenpairs(Lf, Omh, Ph,
+                                          res_tol=args.res_tol)
+        t_host = time.time() - t0
+        fh = np.sort(Omh.real) / 2 / np.pi
+        rec["wall_s"]["beyn_fine_host_lu"] = t_host
+        rec["passive_hz_host_fine"] = [float(f) for f in fh]
+        rec["n_modes_host_fine"] = int(len(fh))
+        rec["device_vs_host_hz"] = (
+            [float(min(abs(f_fine - f))) for f in fh] if len(f_fine)
+            else None)
+
     out = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), os.pardir, "SCALE.json")
     with open(out, "w") as f:

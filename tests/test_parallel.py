@@ -158,6 +158,25 @@ def test_weak_scaling_harness():
     assert recs2[0]["efficiency_vs_smallest"] == 1.0
 
 
+def test_dist_gmres_scaling_report():
+    """Composed row-sharded GMRES weak-scaling harness (VERDICT r2 #9):
+    deterministic pinned work per device count, records in the
+    BASELINE.json format.  The virtual mesh validates the harness, not
+    the trend (8 virtual devices share 2 host cores)."""
+    from wavesandeigenvalues_jl_tpu.parallel.scaling import \
+        dist_gmres_scaling_report
+
+    recs = dist_gmres_scaling_report(device_counts=(1, 4),
+                                     rows_per_device=256, restart=5,
+                                     max_restarts=1, bs=16)
+    assert [r["n_devices"] for r in recs] == [1, 4]
+    for r in recs:
+        assert r["rows"] == 256 * r["n_devices"]
+        assert r["matvec_nnz_per_s"] > 0
+        assert r["baseline_n_devices"] == 1
+    assert recs[0]["efficiency_vs_1"] == 1.0
+
+
 def test_dist_spmm_panel(row_mesh):
     """Row-sharded multi-RHS SpMM: one halo ppermute moves the whole
     panel (SURVEY §2.9 #3 — the Beyn probe / block-Arnoldi axis)."""

@@ -235,8 +235,9 @@ def batched_moments(L: OperatorFamily, Gamma, V=None, l=5, K=1, N=16,
 def beyn_batched(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0,
                  rtol=0.0, pos_test_flag=True, mesh: Optional[Mesh] = None,
                  axis: str = "shift", dtype=None, dense: Optional[bool] = None,
-                 output=False, method: str = "auto", res_tol: float = None,
-                 **solver_kw):
+                 output=False, method: str = "auto",
+                 res_tol: Optional[float] = None,
+                 return_residuals: bool = False, **solver_kw):
     """Beyn's algorithm with device-batched (and optionally chip-sharded)
     quadrature (drop-in for nlevp.solvers.beyn; ``tol``/``rtol`` are the
     absolute/relative singular-value cutoffs of the Hankel SVD filter).
@@ -273,6 +274,8 @@ def beyn_batched(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0,
         Om, Pv = pos_test(Om, Pv, Gamma)
     Om, Pv, res = verify_eigenpairs(L, Om, Pv, res_tol=res_tol,
                                     output=output)
+    if return_residuals:
+        return Om, Pv, res
     return Om, Pv
 
 
