@@ -123,3 +123,45 @@ def test_perturb_device_backend():
     dev_coeffs = np.asarray(sol.eigval_pert["τ/Taylor"])
     assert np.all(np.abs(dev_coeffs - host_coeffs)
                   <= 1e-7 * np.maximum(np.abs(host_coeffs), 1e-30))
+
+
+def test_dual_arnoldi_pair_matches_host():
+    """The one-dispatch device dual Arnoldi (DeviceLU.dual_arnoldi +
+    eigs_pencil_pair fast path) reproduces the host-loop eigentriple:
+    eigenvalue to c128-refined accuracy, vectors to the same invariant
+    subspace (VERDICT r2 #5)."""
+    from wavesandeigenvalues_jl_tpu.nlevp.eigs import eigs_pencil_pair
+
+    L, _ = gallery.rijke_tube(64)
+    L.params["n"], L.params["τ"] = 1.0, 0.5
+    L.ensure_aux()
+    L.params[L.eigval] = 1.1 + 0.25j
+    L.params[L.auxval] = 0.0
+    A = L(1.1 + 0.25j)
+    M = L.aux_weight()
+    lam_h, V_h, lam_adj_h, W_h = eigs_pencil_pair(A, M, nev=1)
+    prev = set_solve_backend("device")
+    try:
+        lam_d, V_d, lam_adj_d, W_d = eigs_pencil_pair(A, M, nev=1)
+    finally:
+        set_solve_backend(prev)
+    assert abs(lam_d[0] - lam_h[0]) <= 1e-9 * max(1.0, abs(lam_h[0]))
+    # vectors agree up to phase
+    for a, b in ((V_d[:, 0], V_h[:, 0]), (W_d[:, 0], W_h[:, 0])):
+        c = np.vdot(b, a)
+        assert abs(abs(c) - 1.0) < 1e-6
+
+
+def test_device_gmres_multirhs_panel():
+    """DeviceGMRES panel solve (one vmapped device call per refinement
+    sweep) matches per-column direct solves."""
+    rng = np.random.default_rng(3)
+    n = 80
+    A = (np.eye(n) * 5 + 0.3 * rng.standard_normal((n, n))
+         + 0.2j * rng.standard_normal((n, n)))
+    A[1] *= 1e10
+    B = rng.standard_normal((n, 4)) + 1j * rng.standard_normal((n, 4))
+    F = DeviceGMRES(CSR.from_dense(A), bs=16, tol=1e-10)
+    X = F.solve(B)
+    ref = np.linalg.solve(A, B)
+    assert np.linalg.norm(X - ref) / np.linalg.norm(ref) < 1e-8

