@@ -22,10 +22,16 @@ TPU-specific design rules (learned on the axon v5e):
 
 * ``jnp.linalg.solve`` compiles in seconds and runs fine as a TOP-LEVEL
   batched op, but inside ``lax.scan`` its While-loop lowering blows the
-  compile up (>10 min) — so the forward sweep is a HOST loop over one
-  jitted step function (async dispatch pipelines the m steps), while the
-  matmul-only passes (backward substitution, refinement re-solves) reuse
-  small jitted steps as well.
+  compile up (>10 min) — so the forward FACTORIZATION sweep is a HOST
+  loop over one jitted step function.  The matmul-only passes (backward
+  substitution, refinement re-solves) contain no solve and DO run as
+  single ``lax.scan`` dispatches — over the axon tunnel each host
+  dispatch costs ~10-25 ms, so scanning the 2·m-step refinement sweeps
+  cut a warm 8-shift chunk from ~37 s to seconds.
+* All chunk-constant arrays (data planes, RHS planes, scatter/gather
+  maps) are ``device_put`` ONCE; passing numpy into the per-step jits
+  re-transfers ~60 MB per step over the tunnel (the round-2 version did
+  exactly that and lost 25 min per chunk to it).
 * The per-step block inverses ``Dt_i⁻¹`` are written into a donated
   device buffer — refinement sweeps then need only matmuls, so iterative
   refinement against exact complex128 host residuals costs a few percent
@@ -207,50 +213,72 @@ def _fwd_step(DTr, DTi, Yr, Yi, Cr, Ci, yr, yi, dr, di, br, bi,
         jnp.real(yn), jnp.imag(yn)
 
 
-@partial(jax.jit, static_argnames=("s", "B"), donate_argnums=(0, 1))
-def _resolve_fwd_step(Yr, Yi, yr, yi, DTr, DTi, dr, di, br, bi,
-                      eidx, dest, rmap, i, s: int, B: int):
-    """Forward re-solve with the STORED block inverses (matmuls only):
-    y_i = Dt_i⁻¹ (b_i − L_i y_{i−1})."""
-    blkr = jnp.zeros((B, 3 * s * s + 1), dr.dtype).at[:, dest].add(
-        dr[:, eidx])
-    blki = jnp.zeros((B, 3 * s * s + 1), di.dtype).at[:, dest].add(
-        di[:, eidx])
-    blk = jax.lax.complex(blkr, blki)[:, :3 * s * s].reshape(B, 3, s, s)
-    Lb = blk[:, 0]
-    Dtinv = jax.lax.complex(
-        jax.lax.dynamic_slice(DTr, _z3(i), (1, B, s, s))[0],
-        jax.lax.dynamic_slice(DTi, _z3(i), (1, B, s, s))[0])
-    y = jax.lax.complex(yr, yi)
-    b_i = jax.lax.complex(br, bi)[:, rmap]
-    yn = Dtinv @ (b_i - Lb @ y)
-    Yr = jax.lax.dynamic_update_slice(Yr, jnp.real(yn)[None], _z3(i))
-    Yi = jax.lax.dynamic_update_slice(Yi, jnp.imag(yn)[None], _z3(i))
-    return Yr, Yi, jnp.real(yn), jnp.imag(yn)
+def _scan_blk(dr, di, eidx_i, dest_i, s: int, B: int):
+    """Assemble one slab's [B, 3, s, s] block panel from the chunk's
+    data planes (gather + scatter-add, shapes static inside the scan)."""
+    blkr = jnp.zeros((B, 3 * s * s + 1), dr.dtype).at[:, dest_i].add(
+        dr[:, eidx_i])
+    blki = jnp.zeros((B, 3 * s * s + 1), di.dtype).at[:, dest_i].add(
+        di[:, eidx_i])
+    return jax.lax.complex(blkr, blki)[:, :3 * s * s].reshape(B, 3, s, s)
 
 
-@partial(jax.jit, static_argnames=("s", "B"), donate_argnums=(0, 1))
-def _bwd_step(Xr, Xi, xr, xi, DTr, DTi, Yr, Yi, dr, di, eidx, dest,
-              i, s: int, B: int):
-    """Backward substitution step: x_i = y_i − (Dt_i⁻¹ U_i) x_{i+1};
-    writes x_i into the donated [m,...] solution buffer."""
-    blkr = jnp.zeros((B, 3 * s * s + 1), dr.dtype).at[:, dest].add(
-        dr[:, eidx])
-    blki = jnp.zeros((B, 3 * s * s + 1), di.dtype).at[:, dest].add(
-        di[:, eidx])
-    blk = jax.lax.complex(blkr, blki)[:, :3 * s * s].reshape(B, 3, s, s)
-    Ub = blk[:, 2]
-    Dtinv = jax.lax.complex(
-        jax.lax.dynamic_slice(DTr, _z3(i), (1, B, s, s))[0],
-        jax.lax.dynamic_slice(DTi, _z3(i), (1, B, s, s))[0])
-    y_i = jax.lax.complex(
-        jax.lax.dynamic_slice(Yr, _z3(i), (1,) + Yr.shape[1:])[0],
-        jax.lax.dynamic_slice(Yi, _z3(i), (1,) + Yi.shape[1:])[0])
-    x = jax.lax.complex(xr, xi)
-    xn = y_i - Dtinv @ (Ub @ x)
-    Xr = jax.lax.dynamic_update_slice(Xr, jnp.real(xn)[None], _z3(i))
-    Xi = jax.lax.dynamic_update_slice(Xi, jnp.imag(xn)[None], _z3(i))
-    return Xr, Xi, jnp.real(xn), jnp.imag(xn)
+def _bwd_core(DTr, DTi, Yr, Yi, dr, di, eidx, dest, src):
+    """Backward substitution x_i = y_i − Dt_i⁻¹ U_i x_{i+1} over ALL
+    slabs as one reverse scan, followed by the un-permute gather back to
+    original DOF order — matmul/gather only, so unlike the factorization
+    it is safe (and fast) inside a scan."""
+    m, B, s = DTr.shape[0], DTr.shape[1], DTr.shape[2]
+    l = Yr.shape[-1]
+
+    def body(carry, xs):
+        xr, xi = carry
+        DTr_i, DTi_i, Yr_i, Yi_i, eidx_i, dest_i = xs
+        blk = _scan_blk(dr, di, eidx_i, dest_i, s, B)
+        Dtinv = jax.lax.complex(DTr_i, DTi_i)
+        y_i = jax.lax.complex(Yr_i, Yi_i)
+        x = jax.lax.complex(xr, xi)
+        xn = y_i - Dtinv @ (blk[:, 2] @ x)
+        out = (jnp.real(xn), jnp.imag(xn))
+        return out, out
+
+    x0 = (jnp.zeros((B, s, l), DTr.dtype), jnp.zeros((B, s, l), DTr.dtype))
+    _, (Xr, Xi) = jax.lax.scan(body, x0, (DTr, DTi, Yr, Yi, eidx, dest),
+                               reverse=True)
+    flat_r = Xr.transpose(1, 0, 2, 3).reshape(B, m * s, l)
+    flat_i = Xi.transpose(1, 0, 2, 3).reshape(B, m * s, l)
+    return flat_r[:, src, :], flat_i[:, src, :]
+
+
+@jax.jit
+def _bwd_pass(DTr, DTi, Yr, Yi, dr, di, eidx, dest, src):
+    """Jitted backward-substitution pass (one dispatch per chunk)."""
+    return _bwd_core(DTr, DTi, Yr, Yi, dr, di, eidx, dest, src)
+
+
+@jax.jit
+def _resolve_pass(DTr, DTi, dr, di, br, bi, eidx, dest, rmap, src):
+    """One full refinement re-solve with the STORED block inverses —
+    forward scan y_i = Dt_i⁻¹ (b_i − L_i y_{i−1}), reverse scan backward
+    substitution, un-permute gather: ONE device dispatch per sweep
+    (the host-loop version cost ~2·m dispatches over the tunnel)."""
+    m, B, s = DTr.shape[0], DTr.shape[1], DTr.shape[2]
+    l = br.shape[-1]
+    b = jax.lax.complex(br, bi)
+
+    def body(carry, xs):
+        yr, yi = carry
+        DTr_i, DTi_i, eidx_i, dest_i, rmap_i = xs
+        blk = _scan_blk(dr, di, eidx_i, dest_i, s, B)
+        Dtinv = jax.lax.complex(DTr_i, DTi_i)
+        y = jax.lax.complex(yr, yi)
+        yn = Dtinv @ (b[:, rmap_i] - blk[:, 0] @ y)
+        out = (jnp.real(yn), jnp.imag(yn))
+        return out, out
+
+    y0 = (jnp.zeros((B, s, l), DTr.dtype), jnp.zeros((B, s, l), DTr.dtype))
+    _, (Yr, Yi) = jax.lax.scan(body, y0, (DTr, DTi, eidx, dest, rmap))
+    return _bwd_core(DTr, DTi, Yr, Yi, dr, di, eidx, dest, src)
 
 
 class SlabSolver:
@@ -309,6 +337,11 @@ class SlabSolver:
             rows_i = part.perm[part.starts[i]:part.starts[i + 1]]
             rmap[i, :len(rows_i)] = rows_i
         self._rmap = rmap
+        # original DOF -> flat padded slab slot (device un-permute gather)
+        newidx = part.iperm
+        self._src = (part.slab_of_new[newidx] * s
+                     + part.loc_of_new[newidx]).astype(np.int32)
+        self._dev_maps_cache = None
         self._chunk = chunk
         self.timings = {"prep_s": 0.0, "device_s": 0.0, "residual_s": 0.0,
                         "factor_steps": 0, "resolve_steps": 0}
@@ -369,8 +402,11 @@ class SlabSolver:
         (X [B, n, l] host c128, device buffers (DTr, DTi) for re-solves)."""
         m, s = self.part.m, self.part.smax
         B, l = bsc.shape[0], bsc.shape[2]
-        dr, di = self._planes(dpad)
-        br, bi = self._planes(bsc)
+        # ship the chunk's data/RHS planes ONCE — passing numpy into the
+        # per-slab jitted steps would re-transfer ~30 MB × m steps over
+        # the axon tunnel
+        dr, di = (jax.device_put(p) for p in self._planes(dpad))
+        br, bi = (jax.device_put(p) for p in self._planes(bsc))
         DTr = jnp.zeros((m, B, s, s), self._rdt)
         DTi = jnp.zeros((m, B, s, s), self._rdt)
         Yr = jnp.zeros((m, B, s, l), self._rdt)
@@ -388,44 +424,30 @@ class SlabSolver:
         X = self._backward(DTr, DTi, Yr, Yi, dr, di, B, l)
         return X, (DTr, DTi, dr, di)
 
+    def _dev_maps(self):
+        """Device-resident scatter/gather maps (shipped once per solver)."""
+        if self._dev_maps_cache is None:
+            self._dev_maps_cache = tuple(
+                jax.device_put(a) for a in (self._eidx, self._dest,
+                                            self._rmap, self._src))
+        return self._dev_maps_cache
+
     def _backward(self, DTr, DTi, Yr, Yi, dr, di, B, l):
-        m, s = self.part.m, self.part.smax
-        Xr = jnp.zeros((m, B, s, l), self._rdt)
-        Xi = jnp.zeros((m, B, s, l), self._rdt)
-        xr = jnp.zeros((B, s, l), self._rdt)
-        xi = jnp.zeros((B, s, l), self._rdt)
-        for i in range(m - 1, -1, -1):
-            Xr, Xi, xr, xi = _bwd_step(
-                Xr, Xi, xr, xi, DTr, DTi, Yr, Yi, dr, di,
-                self._eidx[i], self._dest[i], np.int32(i), s=s, B=B)
-        Xh = (np.asarray(Xr, np.float64)
-              + 1j * np.asarray(Xi, np.float64))        # [m, B, s, l]
-        # un-permute slab rows back to original DOF order
-        X = np.empty((B, self.n, l), np.complex128)
-        flat = Xh.transpose(1, 0, 2, 3).reshape(B, m * s, l)
-        rows_new = (self._rmap != self.n)
-        src = (np.arange(m)[:, None] * s
-               + np.arange(s)[None, :])[rows_new]       # flat slab slots
-        X[:, self._rmap[rows_new], :] = flat[:, src, :]
-        return X
+        eidx, dest, _rmap, src = self._dev_maps()
+        Xr, Xi = _bwd_pass(DTr, DTi, Yr, Yi, dr, di, eidx, dest, src)
+        return (np.asarray(Xr, np.float64)
+                + 1j * np.asarray(Xi, np.float64))       # [B, n, l]
 
     def _resolve_chunk(self, fact, bsc, l):
-        """Re-solve with stored inverses (matmul-only sweeps)."""
+        """Re-solve with stored inverses — one scan dispatch per sweep."""
         DTr, DTi, dr, di = fact
-        m, s = self.part.m, self.part.smax
-        B = bsc.shape[0]
-        br, bi = self._planes(bsc)
-        Yr = jnp.zeros((m, B, s, l), self._rdt)
-        Yi = jnp.zeros((m, B, s, l), self._rdt)
-        yr = jnp.zeros((B, s, l), self._rdt)
-        yi = jnp.zeros((B, s, l), self._rdt)
-        for i in range(m):
-            Yr, Yi, yr, yi = _resolve_fwd_step(
-                Yr, Yi, yr, yi, DTr, DTi, dr, di, br, bi,
-                self._eidx[i], self._dest[i], self._rmap[i],
-                np.int32(i), s=s, B=B)
-        self.timings["resolve_steps"] += m
-        return self._backward(DTr, DTi, Yr, Yi, dr, di, B, l)
+        br, bi = (jax.device_put(p) for p in self._planes(bsc))
+        eidx, dest, rmap, src = self._dev_maps()
+        Xr, Xi = _resolve_pass(DTr, DTi, dr, di, br, bi,
+                               eidx, dest, rmap, src)
+        self.timings["resolve_steps"] += self.part.m
+        return (np.asarray(Xr, np.float64)
+                + 1j * np.asarray(Xi, np.float64))
 
     # -- public API --------------------------------------------------------
 
@@ -499,6 +521,10 @@ class SlabSolver:
             self.timings["prep_s"] += t1 - t0
             self.timings["device_s"] += (t2 - t1) + (t4 - t3)
             self.timings["residual_s"] += t3 - t2
+            if output:
+                print(f"slab chunk [{s0}:{s1}]: prep {t1 - t0:.1f}s  "
+                      f"factor+bwd {t2 - t1:.1f}s  residual {t3 - t2:.1f}s  "
+                      f"refine {t4 - t3:.1f}s")
             X[s0:s1] = best[:s1 - s0]
             relres[s0:s1] = best_res[:s1 - s0]
             del fact
