@@ -45,12 +45,25 @@ def main():
     ap.add_argument("--restart", type=int, default=30)
     ap.add_argument("--max-restarts", type=int, default=10)
     ap.add_argument("--res-tol", type=float, default=1e-6)
+    ap.add_argument("--refine-tol", type=float, default=1e-8,
+                    help="slab refinement target (relres, equilibrated)")
     ap.add_argument("--host-check", action="store_true",
                     help="host splu contour cross-check (slow)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
+
+    # Fire ONE trivial async dispatch immediately: the shared-pool device
+    # session pays a large, variable one-time init on its first program
+    # execution (measured 15 s .. 560 s depending on pool load).  Starting
+    # it now overlaps that init with all the host-side setup below; the
+    # fetch before the contour solve measures what's left and SCALE.json
+    # reports it separately — the contour wall time is the algorithm,
+    # session_warmup_s is the infrastructure.
+    t_w0 = time.time()
+    warm = jax.jit(lambda x: x + 1.0)(jnp.float32(0.0))
 
     from wavesandeigenvalues_jl_tpu.mesh import octosplit, read_mesh
     from wavesandeigenvalues_jl_tpu.mesh.refine import p1_prolongation
@@ -89,6 +102,8 @@ def main():
     t_assemble = time.time() - t0
 
     solver_kw = {}
+    if args.method == "slab":
+        solver_kw["refine_tol"] = args.refine_tol
     if args.method == "gmres":
         # full multilevel hierarchy: each V-cycle level bridges one 8×
         # octosplit refinement (a single 2-level jump stalls near 1e-3)
@@ -109,6 +124,15 @@ def main():
     Om_c, _ = beyn(Lc, Gamma, l=args.l, N=64, rtol=1e-12, res_tol=args.res_tol)
     t_coarse = time.time() - t0
     f_coarse = np.sort(Om_c.real) / 2 / np.pi
+
+    # settle the device session before timing the contour (see top of
+    # main): t_session = dispatch→ready (init overlapped with the host
+    # setup above), t_session_wait = the un-overlapped remainder we
+    # actually blocked on here
+    t_f0 = time.time()
+    float(warm)
+    t_session = time.time() - t_w0
+    t_session_wait = time.time() - t_f0
 
     t0 = time.time()
     Om, _P, res = beyn_batched(
@@ -141,9 +165,14 @@ def main():
         "passive_hz_coarse": [float(f) for f in f_coarse],
         "drift_vs_coarse_hz": drift,
         "wall_s": {"mesh": t_mesh, "assemble": t_assemble,
-                   "beyn_fine_device": t_fine, "beyn_coarse_host": t_coarse},
+                   "session_warmup": t_session,
+                   "session_warmup_wait": t_session_wait,
+                   "beyn_fine_device": t_fine,
+                   "beyn_fine_device_incl_warmup": t_fine + t_session_wait,
+                   "beyn_coarse_host": t_coarse},
         "solver": solver_kw if args.method == "gmres"
-        else {"method": "slab", "chunk": args.chunk},
+        else {"method": "slab", "chunk": args.chunk,
+              "refine_tol": args.refine_tol},
     }
     if "coarse" in rec["solver"]:
         rec["solver"] = {k: v for k, v in rec["solver"].items()

@@ -20,22 +20,21 @@ octosplit Rijke operator this is m=131 slabs of width ≤602.
 
 TPU-specific design rules (learned on the axon v5e):
 
-* ``jnp.linalg.solve`` compiles in seconds and runs fine as a TOP-LEVEL
-  batched op, but inside ``lax.scan`` its While-loop lowering blows the
-  compile up (>10 min) — so the forward FACTORIZATION sweep is a HOST
-  loop over one jitted step function.  The matmul-only passes (backward
-  substitution, refinement re-solves) contain no solve and DO run as
-  single ``lax.scan`` dispatches — over the axon tunnel each host
-  dispatch costs ~10-25 ms, so scanning the 2·m-step refinement sweeps
-  cut a warm 8-shift chunk from ~37 s to seconds.
+* EVERY pass is one ``lax.scan`` dispatch: the batched dense solve
+  inside the factorization scan compiles in ~10 s on this stack
+  (measured; the round-2 "solve-in-scan blows up compile" assumption
+  does not hold here), and the matmul-only backward/refinement scans
+  are trivially safe.  Host-driven per-slab loops cost 10-25 ms of
+  tunnel dispatch latency per step — at m≈111 slabs and ~10 passes per
+  chunk that latency alone dominated the solver.
 * All chunk-constant arrays (data planes, RHS planes, scatter/gather
-  maps) are ``device_put`` ONCE; passing numpy into the per-step jits
+  maps) are ``device_put`` ONCE; passing numpy into per-step jits
   re-transfers ~60 MB per step over the tunnel (the round-2 version did
   exactly that and lost 25 min per chunk to it).
-* The per-step block inverses ``Dt_i⁻¹`` are written into a donated
-  device buffer — refinement sweeps then need only matmuls, so iterative
-  refinement against exact complex128 host residuals costs a few percent
-  of the factorization.
+* The per-slab block inverses ``Dt_i⁻¹`` are kept device-resident —
+  refinement sweeps then need only matmuls, so iterative refinement
+  against exact complex128 host residuals costs a few percent of the
+  factorization.
 * Rows are equilibrated per shift (1/max|row|) on host before shipping:
   penalty-BC rows (admittance Y~1e15) otherwise destroy the f32 block
   factorization, and the refinement acceptance norm matches the scaled
@@ -47,7 +46,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Optional
 
 import jax
@@ -170,47 +168,82 @@ class SlabPartition:
         return si, d, self.loc_of_new[rn], self.loc_of_new[cn]
 
 
+def _band_ell(si, rl, cl, sel, m: int, s: int, nnz: int):
+    """Padded-ELL map of one off-diagonal band: for every (slab, row-loc)
+    the nnz ids and column locs of its entries, padded to the widest row
+    (sentinel id ``nnz`` gathers the appended zero value, col 0).  Lets
+    the scan passes apply L·y / U·x as gather+reduce instead of
+    re-scattering dense [s, s] blocks every step."""
+    s_i = np.asarray(si)[sel]
+    r_i = np.asarray(rl)[sel]
+    c_i = np.asarray(cl)[sel]
+    eids = np.flatnonzero(sel)
+    key = s_i * s + r_i
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    if len(ks):
+        first = np.r_[True, ks[1:] != ks[:-1]]
+        start = np.maximum.accumulate(
+            np.where(first, np.arange(len(ks)), 0))
+        slot = np.arange(len(ks)) - start
+        w = int(slot.max()) + 1
+    else:
+        slot = np.empty(0, np.int64)
+        w = 1
+    eid = np.full((m, s, w), nnz, np.int32)
+    col = np.zeros((m, s, w), np.int32)
+    eid[s_i[order], r_i[order], slot] = eids[order]
+    col[s_i[order], r_i[order], slot] = c_i[order]
+    return eid, col
+
+
 # ---------------------------------------------------------------------------
-# jitted device steps (host-driven loops — see module docstring)
+# jitted device passes (one scan dispatch each — see module docstring)
 
 
+@jax.jit
+def _factor_pass(dP, bP, eidx, dest, rmap, sizes, eidU, colU, src):
+    """Full block-Thomas factorization + solve in ONE dispatch: forward
+    elimination scan (with the batched dense solve in the body — on this
+    stack its While lowering inside scan compiles in ~10 s, measured,
+    contrary to the round-2 assumption), then backward substitution and
+    the un-permute gather.  In/out planes are PACKED [2, ...] (re, im)
+    arrays — each host↔device transfer over the tunnel costs a round
+    trip, so one packed array beats two planes.  Returns stacked solution
+    planes and the stored block inverses for refinement re-solves."""
+    dr, di = dP[0], dP[1]
+    br, bi = bP[0], bP[1]
+    B = dr.shape[0]
+    s = rmap.shape[1]
+    l = br.shape[-1]
+    b = jax.lax.complex(br, bi)
+    arange_s = jnp.arange(s)
 
+    def body(carry, xs):
+        Cr, Ci, yr, yi = carry
+        eidx_i, dest_i, rmap_i, size_i = xs
+        blk = _scan_blk(dr, di, eidx_i, dest_i, s, B)
+        Lb, Db, Ub = blk[:, 0], blk[:, 1], blk[:, 2]
+        C = jax.lax.complex(Cr, Ci)
+        y = jax.lax.complex(yr, yi)
+        # pad empty tail rows of a short slab to identity
+        pad = (arange_s >= size_i).astype(Db.dtype)
+        Dt = Db - Lb @ C + jnp.diag(pad)[None]
+        Eye = jnp.broadcast_to(jnp.eye(s, dtype=Dt.dtype), (B, s, s))
+        Dtinv = jnp.linalg.solve(Dt, Eye)
+        Cn = Dtinv @ Ub
+        yn = Dtinv @ (b[:, rmap_i] - Lb @ y)
+        carry = (jnp.real(Cn), jnp.imag(Cn), jnp.real(yn), jnp.imag(yn))
+        ys = (jnp.real(Dtinv), jnp.imag(Dtinv),
+              jnp.real(yn), jnp.imag(yn))
+        return carry, ys
 
-def _z3(i):
-    """(i, 0, 0, 0) index tuple with matching integer dtypes for
-    dynamic_slice/dynamic_update_slice."""
-    z = jnp.zeros((), jnp.asarray(i).dtype)
-    return (i, z, z, z)
-
-
-@partial(jax.jit, static_argnames=("s", "B"), donate_argnums=(0, 1, 2, 3))
-def _fwd_step(DTr, DTi, Yr, Yi, Cr, Ci, yr, yi, dr, di, br, bi,
-              eidx, dest, rmap, size_i, i, s: int, B: int):
-    """One block-Thomas elimination step; writes Dt⁻¹ and y into the
-    donated [m,...] buffers at slab ``i``."""
-    blkr = jnp.zeros((B, 3 * s * s + 1), dr.dtype).at[:, dest].add(
-        dr[:, eidx])
-    blki = jnp.zeros((B, 3 * s * s + 1), di.dtype).at[:, dest].add(
-        di[:, eidx])
-    blk = jax.lax.complex(blkr, blki)[:, :3 * s * s].reshape(B, 3, s, s)
-    Lb, Db, Ub = blk[:, 0], blk[:, 1], blk[:, 2]
-    C = jax.lax.complex(Cr, Ci)
-    y = jax.lax.complex(yr, yi)
-    pad = (jnp.arange(s) >= size_i).astype(Db.dtype)
-    Dt = Db - Lb @ C + jnp.diag(pad)[None]
-    Eye = jnp.broadcast_to(jnp.eye(s, dtype=Dt.dtype), (B, s, s))
-    Dtinv = jnp.linalg.solve(Dt, Eye)
-    b_i = jax.lax.complex(br, bi)[:, rmap]          # [B, s, l]
-    Cn = Dtinv @ Ub
-    yn = Dtinv @ (b_i - Lb @ y)
-    DTr = jax.lax.dynamic_update_slice(DTr, jnp.real(Dtinv)[None],
-                                       _z3(i))
-    DTi = jax.lax.dynamic_update_slice(DTi, jnp.imag(Dtinv)[None],
-                                       _z3(i))
-    Yr = jax.lax.dynamic_update_slice(Yr, jnp.real(yn)[None], _z3(i))
-    Yi = jax.lax.dynamic_update_slice(Yi, jnp.imag(yn)[None], _z3(i))
-    return DTr, DTi, Yr, Yi, jnp.real(Cn), jnp.imag(Cn), \
-        jnp.real(yn), jnp.imag(yn)
+    C0 = jnp.zeros((B, s, s), dr.dtype)
+    y0 = jnp.zeros((B, s, l), dr.dtype)
+    _, (DTr, DTi, Yr, Yi) = jax.lax.scan(
+        body, (C0, C0, y0, y0), (eidx, dest, rmap, sizes))
+    Xr, Xi = _bwd_core(DTr, DTi, Yr, Yi, dr, di, eidU, colU, src)
+    return jnp.stack([Xr, Xi]), DTr, DTi
 
 
 def _scan_blk(dr, di, eidx_i, dest_i, s: int, B: int):
@@ -223,7 +256,17 @@ def _scan_blk(dr, di, eidx_i, dest_i, s: int, B: int):
     return jax.lax.complex(blkr, blki)[:, :3 * s * s].reshape(B, 3, s, s)
 
 
-def _bwd_core(DTr, DTi, Yr, Yi, dr, di, eidx, dest, src):
+def _band_apply(dr, di, eid_i, col_i, v):
+    """(band_i @ v) via padded-ELL gather+reduce: ``eid_i/col_i`` [s, w]
+    per-row nnz ids / neighbor-slab column locs, ``v`` [B, s, l] the
+    neighboring slab's panel.  No dense [s, s] block is materialized —
+    this is what keeps the scan passes off the serializing scatter."""
+    vals = jax.lax.complex(dr[:, eid_i], di[:, eid_i])    # [B, s, w]
+    vg = v[:, col_i, :]                                   # [B, s, w, l]
+    return jnp.einsum("bsw,bswl->bsl", vals, vg)
+
+
+def _bwd_core(DTr, DTi, Yr, Yi, dr, di, eidU, colU, src):
     """Backward substitution x_i = y_i − Dt_i⁻¹ U_i x_{i+1} over ALL
     slabs as one reverse scan, followed by the un-permute gather back to
     original DOF order — matmul/gather only, so unlike the factorization
@@ -233,17 +276,16 @@ def _bwd_core(DTr, DTi, Yr, Yi, dr, di, eidx, dest, src):
 
     def body(carry, xs):
         xr, xi = carry
-        DTr_i, DTi_i, Yr_i, Yi_i, eidx_i, dest_i = xs
-        blk = _scan_blk(dr, di, eidx_i, dest_i, s, B)
+        DTr_i, DTi_i, Yr_i, Yi_i, eidU_i, colU_i = xs
         Dtinv = jax.lax.complex(DTr_i, DTi_i)
         y_i = jax.lax.complex(Yr_i, Yi_i)
         x = jax.lax.complex(xr, xi)
-        xn = y_i - Dtinv @ (blk[:, 2] @ x)
+        xn = y_i - Dtinv @ _band_apply(dr, di, eidU_i, colU_i, x)
         out = (jnp.real(xn), jnp.imag(xn))
         return out, out
 
     x0 = (jnp.zeros((B, s, l), DTr.dtype), jnp.zeros((B, s, l), DTr.dtype))
-    _, (Xr, Xi) = jax.lax.scan(body, x0, (DTr, DTi, Yr, Yi, eidx, dest),
+    _, (Xr, Xi) = jax.lax.scan(body, x0, (DTr, DTi, Yr, Yi, eidU, colU),
                                reverse=True)
     flat_r = Xr.transpose(1, 0, 2, 3).reshape(B, m * s, l)
     flat_i = Xi.transpose(1, 0, 2, 3).reshape(B, m * s, l)
@@ -251,34 +293,33 @@ def _bwd_core(DTr, DTi, Yr, Yi, dr, di, eidx, dest, src):
 
 
 @jax.jit
-def _bwd_pass(DTr, DTi, Yr, Yi, dr, di, eidx, dest, src):
-    """Jitted backward-substitution pass (one dispatch per chunk)."""
-    return _bwd_core(DTr, DTi, Yr, Yi, dr, di, eidx, dest, src)
-
-
-@jax.jit
-def _resolve_pass(DTr, DTi, dr, di, br, bi, eidx, dest, rmap, src):
+def _resolve_pass(DTr, DTi, dP, bP, eidL, colL, eidU, colU,
+                  rmap, src):
     """One full refinement re-solve with the STORED block inverses —
     forward scan y_i = Dt_i⁻¹ (b_i − L_i y_{i−1}), reverse scan backward
     substitution, un-permute gather: ONE device dispatch per sweep
-    (the host-loop version cost ~2·m dispatches over the tunnel)."""
+    (the host-loop version cost ~2·m dispatches over the tunnel).
+    Packed [2, ...] planes in and out (one transfer each way)."""
+    dr, di = dP[0], dP[1]
+    br, bi = bP[0], bP[1]
     m, B, s = DTr.shape[0], DTr.shape[1], DTr.shape[2]
     l = br.shape[-1]
     b = jax.lax.complex(br, bi)
 
     def body(carry, xs):
         yr, yi = carry
-        DTr_i, DTi_i, eidx_i, dest_i, rmap_i = xs
-        blk = _scan_blk(dr, di, eidx_i, dest_i, s, B)
+        DTr_i, DTi_i, eidL_i, colL_i, rmap_i = xs
         Dtinv = jax.lax.complex(DTr_i, DTi_i)
         y = jax.lax.complex(yr, yi)
-        yn = Dtinv @ (b[:, rmap_i] - blk[:, 0] @ y)
+        yn = Dtinv @ (b[:, rmap_i]
+                      - _band_apply(dr, di, eidL_i, colL_i, y))
         out = (jnp.real(yn), jnp.imag(yn))
         return out, out
 
     y0 = (jnp.zeros((B, s, l), DTr.dtype), jnp.zeros((B, s, l), DTr.dtype))
-    _, (Yr, Yi) = jax.lax.scan(body, y0, (DTr, DTi, eidx, dest, rmap))
-    return _bwd_core(DTr, DTi, Yr, Yi, dr, di, eidx, dest, src)
+    _, (Yr, Yi) = jax.lax.scan(body, y0, (DTr, DTi, eidL, colL, rmap))
+    Xr, Xi = _bwd_core(DTr, DTi, Yr, Yi, dr, di, eidU, colU, src)
+    return jnp.stack([Xr, Xi])
 
 
 class SlabSolver:
@@ -287,11 +328,12 @@ class SlabSolver:
     :class:`.panel_solve.ShiftedPanelSolver`).
 
     Each chunk of shifts runs one batched block-Thomas factorization
-    (m host-dispatched steps of [B,s,s] dense device ops) and stores the
-    block inverses, after which any number of refinement re-solves are
-    matmul-only.  Mixed precision: f32 factorization + exact complex128
-    host residuals + iterative refinement, judged in the row-equilibrated
-    norm (the factorization itself runs on the equilibrated system)."""
+    (a single scan dispatch of m steps of [B,s,s] dense device ops) and
+    stores the block inverses, after which every refinement re-solve is
+    one matmul/ELL-gather scan dispatch.  Mixed precision: f32
+    factorization + exact complex128 host residuals + iterative
+    refinement, judged in the row-equilibrated norm (the factorization
+    itself runs on the equilibrated system)."""
 
     def __init__(self, family, chunk: Optional[int] = None,
                  target: Optional[int] = None,
@@ -341,6 +383,12 @@ class SlabSolver:
         newidx = part.iperm
         self._src = (part.slab_of_new[newidx] * s
                      + part.loc_of_new[newidx]).astype(np.int32)
+        # padded-ELL maps of the L (d=0) and U (d=2) bands for the scan
+        # passes (band matvecs without dense block re-assembly)
+        self._eidL, self._colL = _band_ell(si, rl, cl, d == 0, m, s,
+                                           self.nnz)
+        self._eidU, self._colU = _band_ell(si, rl, cl, d == 2, m, s,
+                                           self.nnz)
         self._dev_maps_cache = None
         self._chunk = chunk
         self.timings = {"prep_s": 0.0, "device_s": 0.0, "residual_s": 0.0,
@@ -379,6 +427,14 @@ class SlabSolver:
         return (np.ascontiguousarray(x.real).astype(self._rdt),
                 np.ascontiguousarray(x.imag).astype(self._rdt))
 
+    def _packed(self, x):
+        """One [2, ...] (re, im) array on device — a single tunnel
+        transfer instead of two."""
+        x = np.asarray(x)
+        P = np.empty((2,) + x.shape, self._rdt)
+        P[0], P[1] = x.real, x.imag
+        return jax.device_put(P)
+
     def _equilibrate(self, coeffs):
         """Per-shift row scalings 1/max|row| of L(z) ([B, n]) and the
         scaled data planes ([B, nnz+1], sentinel 0 appended)."""
@@ -399,55 +455,45 @@ class SlabSolver:
     def _factor_solve_chunk(self, dpad, bsc):
         """Factorize + solve one chunk: ``dpad`` [B, nnz+1] equilibrated
         data, ``bsc`` [B, n+1, l] equilibrated RHS (row n zero).  Returns
-        (X [B, n, l] host c128, device buffers (DTr, DTi) for re-solves)."""
-        m, s = self.part.m, self.part.smax
-        B, l = bsc.shape[0], bsc.shape[2]
-        # ship the chunk's data/RHS planes ONCE — passing numpy into the
-        # per-slab jitted steps would re-transfer ~30 MB × m steps over
-        # the axon tunnel
-        dr, di = (jax.device_put(p) for p in self._planes(dpad))
-        br, bi = (jax.device_put(p) for p in self._planes(bsc))
-        DTr = jnp.zeros((m, B, s, s), self._rdt)
-        DTi = jnp.zeros((m, B, s, s), self._rdt)
-        Yr = jnp.zeros((m, B, s, l), self._rdt)
-        Yi = jnp.zeros((m, B, s, l), self._rdt)
-        Cr = jnp.zeros((B, s, s), self._rdt)
-        Ci = jnp.zeros((B, s, s), self._rdt)
-        yr = jnp.zeros((B, s, l), self._rdt)
-        yi = jnp.zeros((B, s, l), self._rdt)
-        for i in range(m):
-            DTr, DTi, Yr, Yi, Cr, Ci, yr, yi = _fwd_step(
-                DTr, DTi, Yr, Yi, Cr, Ci, yr, yi, dr, di, br, bi,
-                self._eidx[i], self._dest[i], self._rmap[i],
-                np.int32(self.part.sizes[i]), np.int32(i), s=s, B=B)
-        self.timings["factor_steps"] += m
-        X = self._backward(DTr, DTi, Yr, Yi, dr, di, B, l)
-        return X, (DTr, DTi, dr, di)
+        (X [B, n, l] host c128, device buffers (DTr, DTi) for re-solves).
+
+        One device dispatch: the chunk's planes ship once (per-step numpy
+        arguments would re-transfer ~60 MB per slab over the tunnel) and
+        the whole factorization runs as a fused scan program."""
+        dP = self._packed(dpad)
+        bP = self._packed(bsc)
+        d = self._dev_maps()
+        X2, DTr, DTi = _factor_pass(
+            dP, bP, d["eidx"], d["dest"], d["rmap"], d["sizes"],
+            d["eidU"], d["colU"], d["src"])
+        self.timings["factor_steps"] += self.part.m
+        X2h = np.asarray(X2, np.float64)
+        X = X2h[0] + 1j * X2h[1]                          # [B, n, l]
+        return X, (DTr, DTi, dP)
 
     def _dev_maps(self):
         """Device-resident scatter/gather maps (shipped once per solver)."""
         if self._dev_maps_cache is None:
-            self._dev_maps_cache = tuple(
-                jax.device_put(a) for a in (self._eidx, self._dest,
-                                            self._rmap, self._src))
+            host = {"eidx": self._eidx, "dest": self._dest,
+                    "rmap": self._rmap, "src": self._src,
+                    "sizes": np.asarray(self.part.sizes, np.int32),
+                    "eidL": self._eidL, "colL": self._colL,
+                    "eidU": self._eidU, "colU": self._colU}
+            self._dev_maps_cache = {k: jax.device_put(v)
+                                    for k, v in host.items()}
         return self._dev_maps_cache
-
-    def _backward(self, DTr, DTi, Yr, Yi, dr, di, B, l):
-        eidx, dest, _rmap, src = self._dev_maps()
-        Xr, Xi = _bwd_pass(DTr, DTi, Yr, Yi, dr, di, eidx, dest, src)
-        return (np.asarray(Xr, np.float64)
-                + 1j * np.asarray(Xi, np.float64))       # [B, n, l]
 
     def _resolve_chunk(self, fact, bsc, l):
         """Re-solve with stored inverses — one scan dispatch per sweep."""
-        DTr, DTi, dr, di = fact
-        br, bi = (jax.device_put(p) for p in self._planes(bsc))
-        eidx, dest, rmap, src = self._dev_maps()
-        Xr, Xi = _resolve_pass(DTr, DTi, dr, di, br, bi,
-                               eidx, dest, rmap, src)
+        DTr, DTi, dP = fact
+        bP = self._packed(bsc)
+        d = self._dev_maps()
+        X2 = _resolve_pass(DTr, DTi, dP, bP,
+                           d["eidL"], d["colL"], d["eidU"], d["colU"],
+                           d["rmap"], d["src"])
         self.timings["resolve_steps"] += self.part.m
-        return (np.asarray(Xr, np.float64)
-                + 1j * np.asarray(Xi, np.float64))
+        X2h = np.asarray(X2, np.float64)
+        return X2h[0] + 1j * X2h[1]
 
     # -- public API --------------------------------------------------------
 

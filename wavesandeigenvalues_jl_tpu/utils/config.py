@@ -27,6 +27,15 @@ jax.config.update("jax_enable_x64", True)
 # coefficient contraction.  This is a numerics framework: full f32 matmul
 # precision everywhere (kernels that want bf16 opt in explicitly).
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: the slab/panel programs take 15-25 s each
+# to compile and every fresh process (tests, bench, scale runs) re-pays
+# it otherwise.  Cache dir is overridable / disablable via env.
+if os.environ.get("WAE_COMPILE_CACHE", "1") != "0":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("WAE_COMPILE_CACHE_DIR",
+                       os.path.expanduser("~/.cache/wae_xla")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 
