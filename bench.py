@@ -312,6 +312,29 @@ def main():
     except Exception as e:  # surface, don't hide
         large = {"error": f"{type(e).__name__}: {e}"}
 
+    # --- composed distributed-solve weak scaling (virtual 8-device CPU
+    # mesh — validates the harness + communication/compute balance of the
+    # row-sharded GMRES; a pod slice runs the same call) ------------------
+    dist_scaling = None
+    try:
+        import subprocess
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+            "import json\n"
+            "from wavesandeigenvalues_jl_tpu.parallel.scaling import \\\n"
+            "    dist_gmres_scaling_report\n"
+            "print(json.dumps(dist_gmres_scaling_report("
+            "rows_per_device=2048, max_restarts=1)))\n")
+        env = dict(os.environ,
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8",
+                   PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+        pr = subprocess.run([sys.executable, "-c", code],
+                            capture_output=True, text=True, timeout=900,
+                            env=env)
+        dist_scaling = json.loads(pr.stdout.strip().splitlines()[-1])
+    except Exception as e:  # surface, don't hide
+        dist_scaling = {"error": f"{type(e).__name__}: {e}"}
+
     # --- committed big-mesh scale artifact (examples/scale_beyn.py) ------
     scale = None
     scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -357,6 +380,12 @@ def main():
                              ("dim", "working_set_MB", "nnz_per_s",
                               "achieved_GBps", "roofline_frac", "error")
                              if k in large},
+            "dist_gmres_scaling": (
+                {"error": dist_scaling["error"]}
+                if isinstance(dist_scaling, dict) else
+                [{k: r[k] for k in ("n_devices",
+                                    "efficiency_vs_smallest")}
+                 for r in dist_scaling]),
             "scale": scale_summary,
         },
     }
@@ -369,6 +398,7 @@ def main():
         "host_baseline_nnz_per_s": host_nnz_per_s,
         "device_smoke": smoke,
         "large_operator": large,
+        "dist_gmres_scaling": dist_scaling,
         "scale_artifact": scale,
         "headline": result,
     }

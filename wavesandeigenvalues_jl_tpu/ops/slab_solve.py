@@ -200,6 +200,32 @@ def _band_ell(si, rl, cl, sel, m: int, s: int, nnz: int):
 # ---------------------------------------------------------------------------
 # jitted device passes (one scan dispatch each — see module docstring)
 
+#: slab steps fused per scan iteration: each scan iteration carries
+#: ~15 ms of runtime overhead on the axon backend, so fusing K steps
+#: divides the per-pass floor (m/K iterations instead of m)
+SLAB_UNROLL = int(os.environ.get("WAE_SLAB_UNROLL", "4"))
+
+
+def _scan_steps(step, init, xs, reverse: bool = False):
+    """``lax.scan`` over the slab axis with SLAB_UNROLL steps fused per
+    iteration.  ``step(carry, xs_i) -> (carry, ys_i)`` with ys_i a tuple;
+    every xs leading dim must be divisible by SLAB_UNROLL (the solver
+    pads the partition).  Returns (carry, ys) with ys stacked [m, ...]."""
+    K = SLAB_UNROLL
+    xsb = tuple(a.reshape((a.shape[0] // K, K) + a.shape[1:]) for a in xs)
+
+    def body(carry, xsk):
+        outs = [None] * K
+        order = range(K - 1, -1, -1) if reverse else range(K)
+        for k in order:
+            carry, outs[k] = step(carry, tuple(a[k] for a in xsk))
+        ys = tuple(jnp.stack([o[j] for o in outs])
+                   for j in range(len(outs[0])))
+        return carry, ys
+
+    carry, ys = jax.lax.scan(body, init, xsb, reverse=reverse)
+    return carry, tuple(y.reshape((-1,) + y.shape[2:]) for y in ys)
+
 
 @jax.jit
 def _factor_pass(dP, bP, eidx, dest, rmap, sizes, eidU, colU, src):
@@ -232,7 +258,8 @@ def _factor_pass(dP, bP, eidx, dest, rmap, sizes, eidU, colU, src):
         Eye = jnp.broadcast_to(jnp.eye(s, dtype=Dt.dtype), (B, s, s))
         Dtinv = jnp.linalg.solve(Dt, Eye)
         Cn = Dtinv @ Ub
-        yn = Dtinv @ (b[:, rmap_i] - Lb @ y)
+        yn = jnp.matmul(Dtinv, b[:, rmap_i] - Lb @ y,
+                        precision="highest")
         carry = (jnp.real(Cn), jnp.imag(Cn), jnp.real(yn), jnp.imag(yn))
         ys = (jnp.real(Dtinv), jnp.imag(Dtinv),
               jnp.real(yn), jnp.imag(yn))
@@ -240,10 +267,11 @@ def _factor_pass(dP, bP, eidx, dest, rmap, sizes, eidU, colU, src):
 
     C0 = jnp.zeros((B, s, s), dr.dtype)
     y0 = jnp.zeros((B, s, l), dr.dtype)
-    _, (DTr, DTi, Yr, Yi) = jax.lax.scan(
+    _, (DTr, DTi, Yr, Yi) = _scan_steps(
         body, (C0, C0, y0, y0), (eidx, dest, rmap, sizes))
-    Xr, Xi = _bwd_core(DTr, DTi, Yr, Yi, dr, di, eidU, colU, src)
-    return jnp.stack([Xr, Xi]), DTr, DTi
+    Xr, Xi = _bwd_slab_scan(DTr, DTi, Yr, Yi, dP, eidU, colU,
+                            precision="highest")
+    return jnp.stack(_unpermute(Xr, Xi, src)), DTr, DTi
 
 
 def _scan_blk(dr, di, eidx_i, dest_i, s: int, B: int):
@@ -266,13 +294,48 @@ def _band_apply(dr, di, eid_i, col_i, v):
     return jnp.einsum("bsw,bswl->bsl", vals, vg)
 
 
-def _bwd_core(DTr, DTi, Yr, Yi, dr, di, eidU, colU, src):
-    """Backward substitution x_i = y_i − Dt_i⁻¹ U_i x_{i+1} over ALL
-    slabs as one reverse scan, followed by the un-permute gather back to
-    original DOF order — matmul/gather only, so unlike the factorization
-    it is safe (and fast) inside a scan."""
-    m, B, s = DTr.shape[0], DTr.shape[1], DTr.shape[2]
-    l = Yr.shape[-1]
+def _slab_rhs(bP, rmap):
+    """Pack the RHS into slab layout [m, B, s, l] planes (row n = 0)."""
+    br, bi = bP[0], bP[1]
+    return (br[:, rmap, :].transpose(1, 0, 2, 3),
+            bi[:, rmap, :].transpose(1, 0, 2, 3))
+
+
+def _fwd_slab_scan(DTr, DTi, dP, bsr, bsi, eidL, colL,
+                   precision="highest"):
+    """Forward re-solve y_i = Dt_i⁻¹ (b_i − L_i y_{i−1}) with the slab-
+    layout RHS; returns slab-layout Y planes.
+
+    ``precision``: matmul precision of the Dt⁻¹ application.  Keep
+    "highest": single-pass "default" bf16 is amplified to O(1) error by
+    the m-step recursion and stalls the refinement outright, and 3-pass
+    "high" measured no faster on hardware while costing a digit of
+    per-sweep gain."""
+    dr, di = dP[0], dP[1]
+    B, s, l = bsr.shape[1], bsr.shape[2], bsr.shape[3]
+
+    def body(carry, xs):
+        yr, yi = carry
+        DTr_i, DTi_i, eidL_i, colL_i, br_i, bi_i = xs
+        Dtinv = jax.lax.complex(DTr_i, DTi_i)
+        y = jax.lax.complex(yr, yi)
+        rhs = (jax.lax.complex(br_i, bi_i)
+               - _band_apply(dr, di, eidL_i, colL_i, y))
+        yn = jnp.matmul(Dtinv, rhs, precision=precision)
+        out = (jnp.real(yn), jnp.imag(yn))
+        return out, out
+
+    y0 = (jnp.zeros((B, s, l), DTr.dtype), jnp.zeros((B, s, l), DTr.dtype))
+    _, (Yr, Yi) = _scan_steps(body, y0, (DTr, DTi, eidL, colL, bsr, bsi))
+    return Yr, Yi
+
+
+def _bwd_slab_scan(DTr, DTi, Yr, Yi, dP, eidU, colU,
+                   precision="highest"):
+    """Backward substitution, returning SLAB-layout X planes (see
+    _fwd_slab_scan for the ``precision`` rationale)."""
+    dr, di = dP[0], dP[1]
+    B, s, l = Yr.shape[1], Yr.shape[2], Yr.shape[3]
 
     def body(carry, xs):
         xr, xi = carry
@@ -280,13 +343,20 @@ def _bwd_core(DTr, DTi, Yr, Yi, dr, di, eidU, colU, src):
         Dtinv = jax.lax.complex(DTr_i, DTi_i)
         y_i = jax.lax.complex(Yr_i, Yi_i)
         x = jax.lax.complex(xr, xi)
-        xn = y_i - Dtinv @ _band_apply(dr, di, eidU_i, colU_i, x)
+        xn = y_i - jnp.matmul(
+            Dtinv, _band_apply(dr, di, eidU_i, colU_i, x),
+            precision=precision)
         out = (jnp.real(xn), jnp.imag(xn))
         return out, out
 
     x0 = (jnp.zeros((B, s, l), DTr.dtype), jnp.zeros((B, s, l), DTr.dtype))
-    _, (Xr, Xi) = jax.lax.scan(body, x0, (DTr, DTi, Yr, Yi, eidU, colU),
-                               reverse=True)
+    _, (Xr, Xi) = _scan_steps(body, x0, (DTr, DTi, Yr, Yi, eidU, colU),
+                              reverse=True)
+    return Xr, Xi
+
+
+def _unpermute(Xr, Xi, src):
+    m, B, s, l = Xr.shape
     flat_r = Xr.transpose(1, 0, 2, 3).reshape(B, m * s, l)
     flat_i = Xi.transpose(1, 0, 2, 3).reshape(B, m * s, l)
     return flat_r[:, src, :], flat_i[:, src, :]
@@ -300,26 +370,58 @@ def _resolve_pass(DTr, DTi, dP, bP, eidL, colL, eidU, colU,
     substitution, un-permute gather: ONE device dispatch per sweep
     (the host-loop version cost ~2·m dispatches over the tunnel).
     Packed [2, ...] planes in and out (one transfer each way)."""
+    bsr, bsi = _slab_rhs(bP, rmap)
+    Yr, Yi = _fwd_slab_scan(DTr, DTi, dP, bsr, bsi, eidL, colL)
+    Xr, Xi = _bwd_slab_scan(DTr, DTi, Yr, Yi, dP, eidU, colU)
+    return jnp.stack(_unpermute(Xr, Xi, src))
+
+
+def _shift_slabs(Xr, Xi, step):
+    """Slab-layout panels of the ``step``-neighbouring slab (zero pad)."""
+    z = jnp.zeros_like(Xr[:1])
+    if step == -1:
+        return (jnp.concatenate([z, Xr[:-1]]),
+                jnp.concatenate([z, Xi[:-1]]))
+    return (jnp.concatenate([Xr[1:], z]), jnp.concatenate([Xi[1:], z]))
+
+
+@jax.jit
+def _double_resolve_pass(DTr, DTi, dP, bP, eidL, colL, eidD, colD,
+                         eidU, colU, rmap, src):
+    """TWO refinement sweeps in ONE dispatch: re-solve, recompute the
+    residual ON DEVICE (f32, slab-layout band matvecs — accurate enough
+    while the relres is far above the f32 floor ~1e-7), re-solve the new
+    residual, return the combined correction.  Halves the per-chunk
+    tunnel round trips of the refinement loop; the exact complex128
+    residual check still happens on host between dispatches.  All device
+    temporaries stay at slab granularity ([B, s, w, l]) — a global-row
+    residual gather OOMed the 16 GB HBM next to the stored inverses."""
     dr, di = dP[0], dP[1]
-    br, bi = bP[0], bP[1]
-    m, B, s = DTr.shape[0], DTr.shape[1], DTr.shape[2]
-    l = br.shape[-1]
-    b = jax.lax.complex(br, bi)
+    bsr, bsi = _slab_rhs(bP, rmap)
+    Yr, Yi = _fwd_slab_scan(DTr, DTi, dP, bsr, bsi, eidL, colL)
+    X1r, X1i = _bwd_slab_scan(DTr, DTi, Yr, Yi, dP, eidU, colU)
+    # slab-layout residual r_i = b_i − L_i x_{i−1} − D_i x_i − U_i x_{i+1}
+    Xpr, Xpi = _shift_slabs(X1r, X1i, -1)
+    Xnr, Xni = _shift_slabs(X1r, X1i, +1)
 
-    def body(carry, xs):
-        yr, yi = carry
-        DTr_i, DTi_i, eidL_i, colL_i, rmap_i = xs
-        Dtinv = jax.lax.complex(DTr_i, DTi_i)
-        y = jax.lax.complex(yr, yi)
-        yn = Dtinv @ (b[:, rmap_i]
-                      - _band_apply(dr, di, eidL_i, colL_i, y))
-        out = (jnp.real(yn), jnp.imag(yn))
-        return out, out
+    def res_body(_, xs):
+        (eidL_i, colL_i, eidD_i, colD_i, eidU_i, colU_i,
+         br_i, bi_i, xpr, xpi, xcr, xci, xnr, xni) = xs
+        r = (jax.lax.complex(br_i, bi_i)
+             - _band_apply(dr, di, eidL_i, colL_i,
+                           jax.lax.complex(xpr, xpi))
+             - _band_apply(dr, di, eidD_i, colD_i,
+                           jax.lax.complex(xcr, xci))
+             - _band_apply(dr, di, eidU_i, colU_i,
+                           jax.lax.complex(xnr, xni)))
+        return None, (jnp.real(r), jnp.imag(r))
 
-    y0 = (jnp.zeros((B, s, l), DTr.dtype), jnp.zeros((B, s, l), DTr.dtype))
-    _, (Yr, Yi) = jax.lax.scan(body, y0, (DTr, DTi, eidL, colL, rmap))
-    Xr, Xi = _bwd_core(DTr, DTi, Yr, Yi, dr, di, eidU, colU, src)
-    return jnp.stack([Xr, Xi])
+    _, (Rr, Ri) = _scan_steps(
+        res_body, None, (eidL, colL, eidD, colD, eidU, colU,
+                         bsr, bsi, Xpr, Xpi, X1r, X1i, Xnr, Xni))
+    Y2r, Y2i = _fwd_slab_scan(DTr, DTi, dP, Rr, Ri, eidL, colL)
+    X2r, X2i = _bwd_slab_scan(DTr, DTi, Y2r, Y2i, dP, eidU, colU)
+    return jnp.stack(_unpermute(X1r + X2r, X1i + X2i, src))
 
 
 class SlabSolver:
@@ -389,6 +491,29 @@ class SlabSolver:
                                            self.nnz)
         self._eidU, self._colU = _band_ell(si, rl, cl, d == 2, m, s,
                                            self.nnz)
+        # diagonal-band ELL for the on-device residual of the fused
+        # double-refinement sweep (slab-granular temps; a global-row
+        # residual gather OOMed next to the stored inverses)
+        self._eidD, self._colD = _band_ell(si, rl, cl, d == 1, m, s,
+                                           self.nnz)
+        # pad the slab axis to a multiple of SLAB_UNROLL with empty slabs
+        # (size 0 -> the factor body pads them to identity; all maps get
+        # zero-value sentinels), so every scan pass can fuse K steps
+        self.m_pad = -(-m // SLAB_UNROLL) * SLAB_UNROLL
+        padm = self.m_pad - m
+        if padm:
+            def _pad(a, fill):
+                ext = np.full((padm,) + a.shape[1:], fill, a.dtype)
+                return np.concatenate([a, ext])
+            self._eidx = _pad(self._eidx, self.nnz)
+            self._dest = _pad(self._dest, 3 * s * s)
+            self._rmap = _pad(self._rmap, self.n)
+            for name in ("_eidL", "_eidU", "_eidD"):
+                setattr(self, name, _pad(getattr(self, name), self.nnz))
+            for name in ("_colL", "_colU", "_colD"):
+                setattr(self, name, _pad(getattr(self, name), 0))
+        self._sizes_pad = np.zeros(self.m_pad, np.int32)
+        self._sizes_pad[:m] = part.sizes
         self._dev_maps_cache = None
         self._chunk = chunk
         self.timings = {"prep_s": 0.0, "device_s": 0.0, "residual_s": 0.0,
@@ -476,9 +601,10 @@ class SlabSolver:
         if self._dev_maps_cache is None:
             host = {"eidx": self._eidx, "dest": self._dest,
                     "rmap": self._rmap, "src": self._src,
-                    "sizes": np.asarray(self.part.sizes, np.int32),
+                    "sizes": self._sizes_pad,
                     "eidL": self._eidL, "colL": self._colL,
-                    "eidU": self._eidU, "colU": self._colU}
+                    "eidU": self._eidU, "colU": self._colU,
+                    "eidD": self._eidD, "colD": self._colD}
             self._dev_maps_cache = {k: jax.device_put(v)
                                     for k, v in host.items()}
         return self._dev_maps_cache
@@ -492,6 +618,19 @@ class SlabSolver:
                            d["eidL"], d["colL"], d["eidU"], d["colU"],
                            d["rmap"], d["src"])
         self.timings["resolve_steps"] += self.part.m
+        X2h = np.asarray(X2, np.float64)
+        return X2h[0] + 1j * X2h[1]
+
+    def _double_resolve_chunk(self, fact, bsc, l):
+        """Two refinement sweeps per dispatch (device f32 mid-residual)."""
+        DTr, DTi, dP = fact
+        bP = self._packed(bsc)
+        d = self._dev_maps()
+        X2 = _double_resolve_pass(DTr, DTi, dP, bP,
+                                  d["eidL"], d["colL"], d["eidD"],
+                                  d["colD"], d["eidU"], d["colU"],
+                                  d["rmap"], d["src"])
+        self.timings["resolve_steps"] += 2 * self.part.m
         X2h = np.asarray(X2, np.float64)
         return X2h[0] + 1j * X2h[1]
 
@@ -544,7 +683,9 @@ class SlabSolver:
                 best_res[j] = np.linalg.norm(R[j], axis=0) / bnorm[j]
             t3 = time.perf_counter()
             prev_max = np.inf
-            for sweep in range(self.refine_sweeps):
+            # each iteration = 2 fused sweeps in one dispatch (f32
+            # device residual between them — see _double_resolve_pass)
+            for sweep in range(-(-self.refine_sweeps // 2)):
                 cur_max = float(best_res.max())
                 if output:
                     print(f"slab refine sweep {sweep}: max relres "
@@ -552,7 +693,7 @@ class SlabSolver:
                 if cur_max < self.refine_tol or cur_max > 0.25 * prev_max:
                     break
                 prev_max = cur_max
-                dX = self._resolve_chunk(fact, R, l)
+                dX = self._double_resolve_chunk(fact, R, l)
                 cand = best + dX
                 for j in range(chunk):
                     Rc = np.zeros_like(R[j])
