@@ -245,6 +245,18 @@ def main():
             "eigensolve_wall_s": t_solve,
             "eigensolve_iters": its,
         }
+        # context: the per-dispatch round trip of this deployment's
+        # device tunnel — the latency floor under every host-driven
+        # device call (the local-solver outer loop makes O(10) of them
+        # per Newton iteration, so on a relayed device the wall time is
+        # RTT-bound, not compute-bound; co-located RTT is ~50 µs)
+        import jax.numpy as jnp
+        _probe = jax.jit(lambda x: x + 1.0)
+        float(_probe(jnp.float32(0.0)))                  # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(5):
+            float(_probe(jnp.float32(0.0)))
+        accuracy["device_dispatch_rtt_s"] = (time.perf_counter() - t0) / 5
         # same solve with every factorization/re-solve on DEVICE (XLA LU +
         # mixed-precision refinement — ops/device_solve.py)
         from wavesandeigenvalues_jl_tpu.utils.config import set_solve_backend

@@ -165,3 +165,15 @@ def test_device_gmres_multirhs_panel():
     X = F.solve(B)
     ref = np.linalg.solve(A, B)
     assert np.linalg.norm(X - ref) / np.linalg.norm(ref) < 1e-8
+
+
+def test_local_engine_stall_detection():
+    """With tol below the attainable |dz| floor, the local engine stops
+    at the noise floor (flag 0 via the stall rule) instead of spinning
+    to maxiter (the f32 device backend floors near |dz|/|z| ~ 1e-10 on
+    real hardware; at complex128 the same rule trips near 1e-15)."""
+    L, _ = gallery.rijke_tube(60)
+    L.params["n"], L.params["τ"] = 1.0, 0.5
+    sol, iters, flag = mslp(L, 1.0 + 0.3j, tol=0.0, maxiter=60)
+    assert flag >= 0
+    assert iters < 60

@@ -106,6 +106,7 @@ def _local_engine(L: OperatorFamily, z, *, maxiter, tol, relax, lam_tol,
     lam0 = complex(np.inf)
     n = 0
     flag = ITSOL_CONVERGED
+    best_dz, n_stall = np.inf, 0
     if output:
         print(f"Launching {update} solver...")
         print("Iter    Res:         dz:          z:")
@@ -158,6 +159,22 @@ def _local_engine(L: OperatorFamily, z, *, maxiter, tol, relax, lam_tol,
             v0 = (1 - relax) * v0 + relax * V[:, pick]
             v0_adj = (1 - relax) * v0_adj + relax * Vadj[:, pick]
             n += 1
+            # attainable-accuracy stall: once |dz| is tiny relative to z
+            # and stops improving (device-precision noise floor bounces
+            # below the requested tol), accept instead of spinning to
+            # maxiter (the f32-backed backend floors near |dz|/|z|~1e-10
+            # where complex128 reaches ~1e-15)
+            adz = abs(relax * delta_z[pick])
+            if np.isfinite(adz) and adz < best_dz:
+                best_dz, n_stall = adz, 0
+            else:
+                n_stall += 1
+                if n_stall >= 3 and best_dz <= 1e-6 * max(abs(z), 1.0):
+                    if output:
+                        print("dz stagnated at attainable accuracy — "
+                              "stopping.")
+                    z0 = z  # converged-at-floor: |z-z0| = 0 <= tol
+                    break
     except SingularMatrixError:
         flag = ITSOL_SINGULAR_EXCEPTION
         L.params[eig] = z
