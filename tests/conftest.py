@@ -4,6 +4,10 @@ x64 for reference-precision (complex128) numerics."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# no persistent compile cache for the CPU test runs: caching CPU AOT
+# executables buys nothing here and their feature-string mismatch makes
+# every later load log loud (harmless) cpu_aot_loader errors
+os.environ.setdefault("WAE_COMPILE_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
