@@ -86,6 +86,21 @@ def householder_update(f) -> complex:
 
 def _local_engine(L: OperatorFamily, z, *, maxiter, tol, relax, lam_tol,
                   order, nev, v0, v0_adj, output, update, num_order, scale):
+    # Fused-device fast path (VERDICT r4): for the order-1/nev-1 iteration
+    # (mslp default and householder order 1 — both reduce to the Newton
+    # update dz = -λ/λ′) on the device backend, the whole step runs as ONE
+    # device program instead of O(m) dispatches.  Any inapplicability or
+    # device failure falls through to the generic engine below.
+    from ..utils.config import solve_backend
+    if (nev == 1 and order == 1 and num_order <= 1
+            and update in ("householder", "pade")
+            and solve_backend().startswith("device")):
+        from .fused_local import try_fused_local
+        out = try_fused_local(L, z, maxiter=maxiter, tol=tol, relax=relax,
+                              lam_tol=lam_tol, v0=v0, v0_adj=v0_adj,
+                              output=output, scale=scale)
+        if out is not None:
+            return out
     z = complex(z) * scale
     tol = tol * abs(scale) if scale != 1 else tol
     saved_active, saved_mode = list(L.active), L.mode
