@@ -1,14 +1,20 @@
 """Performance benchmark — prints ONE JSON line.
 
-Primary metric: sparse operator application throughput (nnz/s per chip)
-of the assembled thermoacoustic Helmholtz operator on the Pallas BSR
-SpMM kernel (128 RHS — the Beyn/block-Arnoldi panel shape) after
-Cuthill–McKee reordering, at the best block size from a {16,32,64,128}
-sweep.  ``vs_baseline`` compares against the reference's compute model:
+Primary metric (round 4, VERDICT r3 #7): sustained sparse operator
+application throughput (nnz/s per chip) of the assembled thermoacoustic
+Helmholtz operator in the HBM-BOUND regime — the 57k-DOF octosplit
+operator whose working set far exceeds VMEM — on the round-4 windowed
+indexed-BSR SpMM kernel (128 RHS, the Beyn/block-Arnoldi panel shape)
+after Cuthill–McKee reordering.  Timing is fetch-synchronized and
+CHAINED: m kernel applications run inside ONE device program
+(normalized power iteration), because this deployment's runtime charges
+~1.3 ms per dispatch, which would otherwise dominate every sub-ms apply.
+``vs_baseline`` compares against the reference's compute model:
 single-core host CSR products of the same operator on the same panel
 (WavesAndEigenvalues.jl runs all SpMV through single-threaded
 SuiteSparse/Julia kernels; the reference publishes no wall-clock numbers
-— BASELINE.md).
+— BASELINE.md).  The cache-resident small-operator figure stays an
+extra.
 
 Honest-reporting extras (VERDICT r1 #4/#10):
 * ``useful_tflops`` (true-nnz flops) next to ``effective_tflops``
@@ -68,47 +74,132 @@ def build_operator():
     return A
 
 
-def time_bsr(bsr, use_pallas: bool, NRHS: int, X, jax, reps=300):
-    """Compile + time one BSR SpMM configuration; returns (dt_s, apply)."""
+def settle_out(jax, o):
+    """Fetch-synchronize: block_until_ready is not reliable on the axon
+    runtime; a tiny host fetch is the only trustworthy sync point."""
+    import numpy as _np
+    first = o
+    while isinstance(first, (tuple, list)):
+        first = first[0]
+    jax.block_until_ready(o)
+    _np.asarray(first).ravel()[:1]
+
+
+def time_window(op, X, jax, chain_m=20, trials=4):
+    """Chained in-program timing of the windowed SpMM: m normalized
+    applies per program, best of ``trials`` fetch-synced runs."""
+    import time as _t
+    chain = op.chain_fn(chain_m)
+    panels = op.split_panels(X)
+    out = chain(*panels)
+    settle_out(jax, out)
+    best = float("inf")
+    for _ in range(trials):
+        t0 = _t.perf_counter()
+        out = chain(*panels)
+        settle_out(jax, out)
+        best = min(best, (_t.perf_counter() - t0) / chain_m)
+    return best
+
+
+def time_bsr(bsr, use_pallas: bool, NRHS: int, X, jax, reps=20):
+    """Compile + time one BSR SpMM configuration; returns (dt_s, apply).
+
+    Chained in-program timing (normalized power iteration inside one
+    jit): the runtime's ~1.3 ms per-dispatch floor would otherwise be
+    the measurement for any sub-ms apply."""
+    import jax.numpy as jnp
     from wavesandeigenvalues_jl_tpu.ops.pallas_spmv import (PallasBsrSpmm,
+                                                            _bsr_spmm_jit,
                                                             bsr_spmm_xla)
+    n = X.shape[0]
+    Xp = np.zeros((bsr.n, NRHS), np.complex64)
+    Xp[:n] = X
+    Xb = Xp.reshape(-1, bsr.bs, NRHS)
+    panels = (jnp.asarray(np.ascontiguousarray(Xb.real), jnp.float32),
+              jnp.asarray(np.ascontiguousarray(Xb.imag), jnp.float32))
     if use_pallas:
         op = PallasBsrSpmm(bsr, nrhs=NRHS)
-        apply_split = op.apply_split
-        panels = op.split_panels(X)
         applier = op
+        meta = op.meta
+
+        @jax.jit
+        def chain(cols, bre, bim, xr, xi):
+            def body(carry, _):
+                xr, xi = carry
+                with jax.enable_x64(False):
+                    yr, yi = _bsr_spmm_jit(meta, cols, bre, bim, xr, xi,
+                                           False, None)
+                s = 1.0 / jnp.maximum(
+                    jnp.sqrt(jnp.sum(yr * yr) + jnp.sum(yi * yi)), 1e-30)
+                return (yr * s, yi * s), 0
+            (yr, yi), _ = jax.lax.scan(body, (xr, xi), None, length=reps)
+            return yr, yi
+
+        run = lambda: chain(op.cols, op.blocks_re, op.blocks_im, *panels)
     else:
         f = bsr_spmm_xla(bsr)
-        apply_split = f.apply_split
-        import jax.numpy as jnp
-        n = X.shape[0]
-        Xp = np.zeros((bsr.n, NRHS), np.complex64)
-        Xp[:n] = X
-        Xb = Xp.reshape(-1, bsr.bs, NRHS)
-        panels = (jnp.asarray(np.ascontiguousarray(Xb.real), jnp.float32),
-                  jnp.asarray(np.ascontiguousarray(Xb.imag), jnp.float32))
         applier = f
-    def settle(o):
-        # block_until_ready is not reliable on the axon runtime (it can
-        # return before execution completes); a tiny host fetch of the
-        # result is the only trustworthy synchronization point
-        jax.block_until_ready(o)
-        first = o[0] if isinstance(o, (tuple, list)) else o
-        np.asarray(first[:1, :1])
+        apply_split = f.apply_split
 
-    out = apply_split(*panels)
-    settle(out)
-    for _ in range(20):
-        out = apply_split(*panels)
-    settle(out)
+        @jax.jit
+        def chain_xla(xr, xi):
+            def body(carry, _):
+                xr, xi = carry
+                yr, yi = apply_split(xr, xi)
+                s = 1.0 / jnp.maximum(
+                    jnp.sqrt(jnp.sum(yr * yr) + jnp.sum(yi * yi)), 1e-30)
+                return (yr * s, yi * s), 0
+            (yr, yi), _ = jax.lax.scan(body, (xr, xi), None, length=reps)
+            return yr, yi
+
+        run = lambda: chain_xla(*panels)
+
+    out = run()
+    settle_out(jax, out)
     dt = float("inf")
     for _ in range(3):  # best of 3: tunnel dispatch jitter dominates var
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = apply_split(*panels)
-        settle(out)
+        out = run()
+        settle_out(jax, out)
         dt = min(dt, (time.perf_counter() - t0) / reps)
     return dt, applier
+
+
+def chip_health(jax):
+    """Measure the chip's current matmul rate — this deployment's shared
+    v5e goes through multi-minute throttle phases (~20-40x slowdowns)
+    that would otherwise be recorded as kernel performance."""
+    import jax.numpy as jnp
+    n = 4096
+    a = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a):
+        return jax.lax.fori_loop(
+            0, 10, lambda i, x: jnp.dot(
+                x, a, preferred_element_type=jnp.bfloat16), a)
+
+    out = mm(a)
+    settle_out(jax, out)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = mm(a)
+        settle_out(jax, out)
+        best = min(best, (time.perf_counter() - t0) / 10)
+    return 2 * n ** 3 / best / 1e12           # Tflop/s
+
+
+def wait_for_healthy_chip(jax, min_tflops=30.0, max_wait_s=600.0):
+    """Block until the chip measures ≥ min_tflops (or give up).  Returns
+    the last health reading."""
+    t_end = time.time() + max_wait_s
+    h = chip_health(jax)
+    while h < min_tflops and time.time() < t_end:
+        time.sleep(15)
+        h = chip_health(jax)
+    return h
 
 
 def main():
@@ -121,6 +212,8 @@ def main():
 
     backend = jax.devices()[0].platform
     kind = jax.devices()[0].device_kind
+    health_tflops = (wait_for_healthy_chip(jax)
+                     if backend in ("tpu", "axon") else None)
     A = build_operator()
     n = A.shape[0]
     nnz = A.nnz
@@ -136,7 +229,7 @@ def main():
     # --- block-size sweep (VERDICT r1 #4) --------------------------------
     sweep = {}
     best = None
-    for bs in (16, 32, 64, 128):
+    for bs in (32, 64, 128):
         try:
             bsr = BsrOperator.from_csr(Ar, bs=bs)
             dt, applier = time_bsr(bsr, use_pallas, NRHS, X, jax)
@@ -308,38 +401,36 @@ def main():
         nl = Alr.shape[0]
         Xl = (rng.standard_normal((nl, NRHS))
               + 1j * rng.standard_normal((nl, NRHS))).astype(np.complex64)
-        # large blocks can exceed the kernel's scoped VMEM at this dim —
-        # fall back through smaller block sizes
-        last_err = None
-        for bs_l in dict.fromkeys((best, 64, 32)):
-            try:
-                bsr_l = BsrOperator.from_csr(Alr, bs=bs_l)
-                dt_l, app_l = time_bsr(bsr_l, use_pallas, NRHS, Xl, jax,
-                                       reps=60)
-                break
-            except Exception as e:
-                last_err = e
-        else:
-            raise last_err
-        ws = 8.0 * (bsr_l.blocks.size + bsr_l.n * NRHS * 2)
+        from wavesandeigenvalues_jl_tpu.ops.window_spmm import (WindowBsr,
+                                                                WindowSpmm)
+        wb = WindowBsr.from_csr(Alr)
+        op_l = WindowSpmm(wb, nrhs=NRHS)
+        if backend in ("tpu", "axon"):
+            wait_for_healthy_chip(jax)
+        # correctness assert before timing
+        Yl = op_l(Xl)
+        Ahl = sp.csr_matrix((Alr.data, Alr.indices, Alr.indptr),
+                            shape=Alr.shape)
+        rel_l = float(np.linalg.norm(np.asarray(Yl)[:nl] - Ahl @ Xl)
+                      / np.linalg.norm(Ahl @ Xl))
+        assert rel_l < 5e-5, f"window SpMM wrong: rel err {rel_l}"
+        dt_l = time_window(op_l, Xl, jax)
+        ws = op_l.stream_bytes
         bw = HBM_BW.get(kind)
         large = {
-            "dim": nl, "nnz": int(Al.nnz), "bs": bs_l,
+            "dim": nl, "nnz": int(Al.nnz), "kernel": "window_bsr",
+            "slot_fill": wb.slot_fill,
             "working_set_MB": ws / 1e6,
             "ms_per_apply": dt_l * 1e3,
             "nnz_per_s": Al.nnz * NRHS / dt_l,
             "achieved_GBps": ws / dt_l / 1e9,
             "roofline_frac": (ws / bw) / dt_l if bw else None,
-            "note": ("working set exceeds VMEM -> streams HBM; this is "
-                     "the bandwidth-bound figure (small-op number above "
-                     "is cache-resident)"),
+            "rel_err_vs_host": rel_l,
+            "note": ("working set exceeds VMEM -> streams HBM; chained "
+                     "in-program timing (per-dispatch overhead ~1.3 ms "
+                     "on this runtime); streamed bytes = compact nonzero "
+                     "128-blocks + 3x panel + output"),
         }
-        Yl = app_l(Xl)
-        Ahl = sp.csr_matrix((Alr.data, Alr.indices, Alr.indptr),
-                            shape=Alr.shape)
-        large["rel_err_vs_host"] = float(
-            np.linalg.norm(np.asarray(Yl)[:nl] - Ahl @ Xl)
-            / np.linalg.norm(Ahl @ Xl))
     except Exception as e:  # surface, don't hide
         large = {"error": f"{type(e).__name__}: {e}"}
 
@@ -365,6 +456,18 @@ def main():
         dist_scaling = json.loads(pr.stdout.strip().splitlines()[-1])
     except Exception as e:  # surface, don't hide
         dist_scaling = {"error": f"{type(e).__name__}: {e}"}
+
+    # --- communication model: comm accounting + ICI pod prediction -------
+    # (VERDICT r3 #4) — the P=1 compute time is measured on THIS device,
+    # so the modeled efficiency is the pod-scale statement; the virtual
+    # CPU-mesh efficiencies above only validate the harness.
+    comm_model = None
+    try:
+        from wavesandeigenvalues_jl_tpu.parallel.scaling import (
+            dist_gmres_comm_report)
+        comm_model = dist_gmres_comm_report()
+    except Exception as e:  # surface, don't hide
+        comm_model = {"error": f"{type(e).__name__}: {e}"}
 
     # --- committed big-mesh scale artifact (examples/scale_beyn.py) ------
     scale = None
@@ -393,23 +496,45 @@ def main():
             "eig_residuals": scale.get("eig_residuals"),
         }
 
+    # headline = the HBM-bound big-operator sustained figure (VERDICT r3
+    # #7) — the regime big meshes live in; the cache-resident small-op
+    # number stays in extras
+    if "nnz_per_s" in large:
+        headline_value = large["nnz_per_s"]
+        # single-core host CSR baseline on the SAME large operator
+        t0 = time.perf_counter()
+        reps_l = 0
+        while time.perf_counter() - t0 < 1.0:
+            _ = Ahl @ Xl
+            reps_l += 1
+        host_l_dt = (time.perf_counter() - t0) / reps_l
+        vs_base = headline_value / (large["nnz"] * NRHS / host_l_dt)
+        metric = "helmholtz_57k_spmm128_sustained_nnz_per_s_per_chip"
+    else:
+        headline_value = device_nnz_per_s
+        vs_base = device_nnz_per_s / host_nnz_per_s
+        metric = "helmholtz_operator_spmm128_nnz_per_s_per_chip"
+
     result = {
-        "metric": "helmholtz_operator_spmm128_nnz_per_s_per_chip",
-        "value": device_nnz_per_s,
+        "metric": metric,
+        "value": headline_value,
         "unit": "nnz/s",
-        "vs_baseline": device_nnz_per_s / host_nnz_per_s,
+        "vs_baseline": vs_base,
         "extra": {
             "accuracy": accuracy,
             "device_kind": kind,
+            "chip_health_bf16_tflops_at_bench": health_tflops,
             "kernel": "pallas_bsr" if use_pallas else "xla_bsr",
             "dim": n,
             "nnz": nnz,
             "best_bs": best,
+            "small_op_nnz_per_s_cache_resident": device_nnz_per_s,
             "useful_tflops": best_rec["useful_tflops"],
             "small_op_GBps_cache_resident": best_rec["achieved_GBps"],
             "hbm_roofline": {k: large.get(k) for k in
                              ("dim", "working_set_MB", "nnz_per_s",
-                              "achieved_GBps", "roofline_frac", "error")
+                              "achieved_GBps", "roofline_frac",
+                              "slot_fill", "error")
                              if k in large},
             "dist_gmres_scaling": (
                 {"error": dist_scaling["error"]}
@@ -417,6 +542,21 @@ def main():
                 [{k: r[k] for k in ("n_devices",
                                     "efficiency_vs_smallest")}
                  for r in dist_scaling]),
+            "dist_comm_model": (
+                comm_model if (comm_model is None
+                               or "error" in comm_model) else {
+                    "t_compute_per_iter_s":
+                        comm_model["t_compute_per_iter_s"],
+                    "comm_bytes_per_solve":
+                        comm_model["accounting"]["comm_bytes_per_solve"],
+                    "modeled_efficiency": {
+                        str(m["n_devices"]): round(
+                            m["modeled_efficiency"], 4)
+                        for m in comm_model["modeled"]},
+                    "comm_fraction_at_8": next(
+                        (m["comm_fraction"] for m in comm_model["modeled"]
+                         if m["n_devices"] == 8), None),
+                }),
             "scale": scale_summary,
         },
     }
@@ -430,6 +570,7 @@ def main():
         "device_smoke": smoke,
         "large_operator": large,
         "dist_gmres_scaling": dist_scaling,
+        "dist_comm_model": comm_model,
         "scale_artifact": scale,
         "headline": result,
     }

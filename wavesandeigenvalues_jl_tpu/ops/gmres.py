@@ -51,7 +51,8 @@ def gmres_impl(matvec: Callable, b: jnp.ndarray,
                restart: int = 40, max_restarts: int = 20,
                precond: Optional[Callable] = None,
                reduce_fn: Optional[Callable] = None,
-               stagnation: float = 0.9):
+               stagnation: float = 0.9,
+               vma_axes: tuple = ()):
     """Unjitted GMRES(m) body — call this from *inside* an already-jitted
     program (fresh closures would defeat :func:`gmres`'s jit cache there);
     top-level callers use the jitted :func:`gmres` wrapper below.
@@ -74,6 +75,20 @@ def gmres_impl(matvec: Callable, b: jnp.ndarray,
     m = restart
     if x0 is None:
         x0 = jnp.zeros_like(b)
+    # Inside shard_map with per-axis-varying operator data, loop carries
+    # initialized from constants are axis-INVARIANT while the body's
+    # updates are axis-VARYING — scan/while type-check (check_vma)
+    # rejects the mix.  Callers under a varying mesh axis pass its name
+    # so every zero init is pcast to varying up front.
+    if vma_axes:
+        def vcast(t):
+            try:
+                return jax.lax.pcast(t, vma_axes, to="varying")
+            except ValueError:
+                return t          # already varying over these axes
+    else:
+        vcast = lambda t: t
+    x0 = vcast(x0)
     Minv = precond if precond is not None else (lambda v: v)
     reduce_ = reduce_fn if reduce_fn is not None else (lambda s: s)
 
@@ -89,15 +104,15 @@ def gmres_impl(matvec: Callable, b: jnp.ndarray,
     def arnoldi_cycle(x):
         r = b - matvec(x)
         beta = vnorm(r)
-        V = jnp.zeros((m + 1, n), dtype)
-        H = jnp.zeros((m + 1, m), dtype)
+        V = vcast(jnp.zeros((m + 1, n), dtype))
+        H = vcast(jnp.zeros((m + 1, m), dtype))
         V = V.at[0].set(r / jnp.where(beta == 0, rone, beta))
         # Givens-rotated least-squares state (cs real in b's REAL dtype:
         # a float64 default would promote complex64 work to complex128,
         # which TPUs cannot convert)
-        cs = jnp.zeros(m, rdtype)
-        sn = jnp.zeros(m, dtype)
-        g = jnp.zeros(m + 1, dtype).at[0].set(beta.astype(dtype))
+        cs = vcast(jnp.zeros(m, rdtype))
+        sn = vcast(jnp.zeros(m, dtype))
+        g = vcast(jnp.zeros(m + 1, dtype)).at[0].set(beta.astype(dtype))
 
         def body(j, carry):
             V, H, cs, sn, g = carry
@@ -142,7 +157,7 @@ def gmres_impl(matvec: Callable, b: jnp.ndarray,
             i = m - 1 - i_rev
             num = g[i] - jnp.dot(H[i, :], y)
             return y.at[i].set(num / jnp.where(H[i, i] == 0, cone, H[i, i]))
-        y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype))
+        y = jax.lax.fori_loop(0, m, back, vcast(jnp.zeros(m, dtype)))
         x_new = x + Minv(jnp.einsum("k,kn->n", y, V[:m]))
         return x_new
 
@@ -163,9 +178,10 @@ def gmres_impl(matvec: Callable, b: jnp.ndarray,
         return (x, it + 1, res_new, res)
 
     res0 = vnorm(b - matvec(x0)) / bnorm
-    inf0 = jnp.asarray(jnp.inf, rdtype)
+    inf0 = vcast(jnp.asarray(jnp.inf, rdtype))
     x, its, res, _ = jax.lax.while_loop(cond, step,
-                                        (x0, jnp.array(0), res0, inf0))
+                                        (x0, vcast(jnp.array(0)), res0,
+                                         inf0))
     return x, res, its
 
 

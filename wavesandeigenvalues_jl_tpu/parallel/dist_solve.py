@@ -34,6 +34,15 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.gmres import gmres_impl
 from ..utils.config import device_complex_dtype
 from .dist_spmv import halo_exchange, local_spmv
+#: varying-manual-axes checking on the sharded solves.  Rounds 2-3 had
+#: to disable it (the then-current checker rejected gmres_impl's
+#: axis-invariant zero carries mixed with axis-varying updates); the
+#: jax-0.9 checker accepts the pattern, so it is ON again (VERDICT r3
+#: #6).  tests/test_dist_solve.py::test_check_vma_enabled keeps a small
+#: checked solve in CI so a regression is caught at test time, not in a
+#: production solve.
+CHECK_VMA = True
+
 from .partition import RowPartitionedEll
 
 
@@ -105,6 +114,9 @@ def make_dist_gmres(part: RowPartitionedEll, mesh: Mesh,
     vals_r, vals_i = _planes(part.values.astype(cdt), rdt)
     cols_h = part.cols
     sspec = (P(shift_axis) if shift_axis else P(None))
+    #: zero-init GMRES carries must be pcast varying over the shift mesh
+    #: axis (per-shift operator data makes the loop bodies shift-varying)
+    vma_axes = (shift_axis,) if shift_axis else ()
 
     def shift_spec(*trail):
         return P(*(sspec + P(*trail)))
@@ -129,7 +141,7 @@ def make_dist_gmres(part: RowPartitionedEll, mesh: Mesh,
              # per-shift data; the vma checker rejects that mix even though
              # the program is correct (everything becomes shift-varying
              # after iteration 0), so it is disabled for this map
-             check_vma=False)
+             check_vma=CHECK_VMA)
     def _solve(vr, vi, cols, cr, ci, dvr, dvi, br, bi):
         # shard-local: vr/vi [K,1,m,w], cols [1,m,w], cr/ci [Sl,K],
         # dvr/dvi [Sl,1,nb,bs,bs], br/bi [Sl,l,1,m]
@@ -152,7 +164,8 @@ def make_dist_gmres(part: RowPartitionedEll, mesh: Mesh,
                 x, res, _ = gmres_impl(
                     lambda x: dinv(matvec(x)), dinv(b), tol=tol,
                     restart=restart, max_restarts=max_restarts,
-                    reduce_fn=lambda s: jax.lax.psum(s, row_axis))
+                    reduce_fn=lambda s: jax.lax.psum(s, row_axis),
+                    vma_axes=vma_axes)
                 return x, res
             return jax.vmap(one_col)(Bl)
 
@@ -198,7 +211,7 @@ def make_dist_gmres(part: RowPartitionedEll, mesh: Mesh,
                  out_specs=(shift_spec(None, row_axis, None),
                             shift_spec(None, row_axis, None),
                             shift_spec(None)),
-                 check_vma=False)
+                 check_vma=CHECK_VMA)
         def _solve_tg(vr, vi, cols, pcl, pvl, cr, ci, dvr, dvi, air, aii,
                       br, bi):
             vals = jax.lax.complex(vr, vi)[:, 0]          # [K, m, w]
@@ -236,7 +249,8 @@ def make_dist_gmres(part: RowPartitionedEll, mesh: Mesh,
                     x, res, _ = gmres_impl(
                         lambda x: minv(matvec(x)), minv(b), tol=tol,
                         restart=restart, max_restarts=max_restarts,
-                        reduce_fn=lambda s: jax.lax.psum(s, row_axis))
+                        reduce_fn=lambda s: jax.lax.psum(s, row_axis),
+                        vma_axes=vma_axes)
                     return x, res
                 return jax.vmap(one_col)(Bl)
 
@@ -295,7 +309,7 @@ def make_dist_gmres(part: RowPartitionedEll, mesh: Mesh,
                  out_specs=(shift_spec(None, row_axis, None),
                             shift_spec(None, row_axis, None),
                             shift_spec(None)),
-                 check_vma=False)
+                 check_vma=CHECK_VMA)
         def _solve_mg(vr, vi, cols, pcl, pvl, cr, ci, dvr, dvi, lvl_dinv,
                       air, aii, br, bi):
             vals = jax.lax.complex(vr, vi)[:, 0]          # [K, m, w]
@@ -368,7 +382,8 @@ def make_dist_gmres(part: RowPartitionedEll, mesh: Mesh,
                     x, res, _ = gmres_impl(
                         lambda x: minv(matvec(x)), minv(b), tol=tol,
                         restart=restart, max_restarts=max_restarts,
-                        reduce_fn=lambda s: jax.lax.psum(s, row_axis))
+                        reduce_fn=lambda s: jax.lax.psum(s, row_axis),
+                        vma_axes=vma_axes)
                     return x, res
                 return jax.vmap(one_col)(Bl)
 
