@@ -168,12 +168,15 @@ def main():
     t_session_wait = time.time() - t_f0
 
     t0 = time.time()
-    Om, _P, res = beyn_batched(
+    Om, _P, res, minfo = beyn_batched(
         Lf, Gamma, l=args.l, N=args.N, rtol=1e-12, dense=False,
         output=True, method=args.method, res_tol=args.res_tol,
-        return_residuals=True,
+        return_residuals=True, return_info=True,
         checkpoint="/tmp/scale_moments.npz", **solver_kw)
     t_fine = time.time() - t0
+    phases = dict(minfo.get("solver_timings", {}))
+    phases["host_tail_s"] = t_fine - sum(
+        v for k, v in phases.items() if k.endswith("_s"))
     order = np.argsort(Om.real)
     f_fine = Om.real[order] / 2 / np.pi
     res = res[order]
@@ -202,7 +205,8 @@ def main():
                    "session_warmup_wait": t_session_wait,
                    "beyn_fine_device": t_fine,
                    "beyn_fine_device_incl_warmup": t_fine + t_session_wait,
-                   "beyn_coarse_host": t_coarse},
+                   "beyn_coarse_host": t_coarse,
+                   "fine_solver_phases": phases},
         "solver": solver_kw if args.method == "gmres"
         else {"method": "slab", "chunk": args.chunk,
               "refine_tol": args.refine_tol},

@@ -175,16 +175,22 @@ def _local_engine(L: OperatorFamily, z, *, maxiter, tol, relax, lam_tol,
             v0_adj = (1 - relax) * v0_adj + relax * Vadj[:, pick]
             n += 1
             # attainable-accuracy stall: once |dz| is tiny relative to z
-            # and stops improving (device-precision noise floor bounces
-            # below the requested tol), accept instead of spinning to
-            # maxiter (the f32-backed backend floors near |dz|/|z|~1e-10
-            # where complex128 reaches ~1e-15)
+            # and stops improving (precision noise floor bounces below
+            # the requested tol), accept instead of spinning to maxiter.
+            # The floor is tied to the requested tol and the backend's
+            # attainable accuracy (ADVICE r3 #2 — a fixed 1e-6 could
+            # report ~6 correct digits as converged when the caller
+            # asked for 12): complex128 host ~1e-13·|z|, f32-refined
+            # device ~1e-9·|z|.
+            from ..utils.config import solve_backend as _sb
+            eps_backend = 1e-9 if _sb().startswith("device") else 1e-13
+            stall_floor = max(tol, eps_backend * max(abs(z), 1.0))
             adz = abs(relax * delta_z[pick])
             if np.isfinite(adz) and adz < best_dz:
                 best_dz, n_stall = adz, 0
             else:
                 n_stall += 1
-                if n_stall >= 3 and best_dz <= 1e-6 * max(abs(z), 1.0):
+                if n_stall >= 3 and best_dz <= stall_floor:
                     if output:
                         print("dz stagnated at attainable accuracy — "
                               "stopping.")

@@ -216,6 +216,10 @@ def _refined_solve_panel(solve_dev, matvec128, B, tol: float = 1e-13,
         if not active.any():
             break
         prev = relres
+        # zero the residual columns of converged/stagnated systems: they
+        # get no correction (a diverging inactive column would otherwise
+        # keep growing and waste device solve work — ADVICE r3 #3)
+        R[:, ~active] = 0.0
         X = X + solve_dev(R)
     best_X[:, ~nz] = 0.0
     return best_X
@@ -297,18 +301,29 @@ class DeviceLU:
         return _refined_solve_panel(lambda R: self._solve_dev(R, trans),
                                     matvec, b)
 
-    #: cache of device (re, im) planes of pencil M matrices, keyed by the
-    #: host object (the aux-weight M is fixed across a local solver's outer
-    #: iterations while the DeviceLU is re-built per shift)
+    #: cache of device (re, im) planes of pencil M matrices.  Keyed by
+    #: (object identity, data-buffer fingerprint): identity alone would
+    #: silently serve stale planes if a cached M's buffers were mutated
+    #: in place (ADVICE r3 #1); the fingerprint (first/last data bytes +
+    #: nnz) catches that without hashing the whole matrix.
     _M_planes_cache: list = []
 
+    @staticmethod
+    def _m_fingerprint(M):
+        data = M.data if isinstance(M, CSR) else np.asarray(M)
+        flat = np.asarray(data).ravel()
+        probe = (complex(flat[0]), complex(flat[-1]),
+                 complex(flat[len(flat) // 2]), flat.size)
+        return probe
+
     def _m_planes(self, M):
-        for ref, planes in DeviceLU._M_planes_cache:
-            if ref is M:
+        fp = DeviceLU._m_fingerprint(M)
+        for ref, ref_fp, planes in DeviceLU._M_planes_cache:
+            if ref is M and ref_fp == fp:
                 return planes
         Md = M.to_dense() if isinstance(M, CSR) else np.asarray(M, CDTYPE)
         planes = tuple(jax.device_put(p) for p in _planes(Md, self._rdt))
-        DeviceLU._M_planes_cache.append((M, planes))
+        DeviceLU._M_planes_cache.append((M, fp, planes))
         del DeviceLU._M_planes_cache[:-4]
         return planes
 

@@ -157,7 +157,12 @@ def matfree_moments(L: OperatorFamily, Gamma, V=None, l=5, K=1, N=16,
             os.replace(tmp, checkpoint)
         if output:
             print(f"matfree moments: nodes {s1}/{B} done")
-    return A.astype(np.complex128), {"max_relres": max_relres}
+    return A.astype(np.complex128), {
+        "max_relres": max_relres,
+        # per-phase wall profile of the panel solver (VERDICT r3 #3):
+        # prep (host coefficient/equilibration), device (transfers +
+        # factor/re-solve dispatches), residual (host c128 residuals)
+        "solver_timings": dict(getattr(solver, "timings", {}))}
 
 
 def batched_moments(L: OperatorFamily, Gamma, V=None, l=5, K=1, N=16,
@@ -237,7 +242,8 @@ def beyn_batched(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0,
                  axis: str = "shift", dtype=None, dense: Optional[bool] = None,
                  output=False, method: str = "auto",
                  res_tol: Optional[float] = None,
-                 return_residuals: bool = False, **solver_kw):
+                 return_residuals: bool = False,
+                 return_info: bool = False, **solver_kw):
     """Beyn's algorithm with device-batched (and optionally chip-sharded)
     quadrature (drop-in for nlevp.solvers.beyn; ``tol``/``rtol`` are the
     absolute/relative singular-value cutoffs of the Hankel SVD filter).
@@ -256,6 +262,7 @@ def beyn_batched(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0,
     K = max(K, (l + d - 1) // d)
     if dense is None:
         dense = d <= DENSE_BEYN_MAX_DIM
+    _info = {}
     if dense:
         if solver_kw:
             import warnings
@@ -274,9 +281,12 @@ def beyn_batched(L: OperatorFamily, Gamma, l=5, K=1, N=16, tol=0.0,
         Om, Pv = pos_test(Om, Pv, Gamma)
     Om, Pv, res = verify_eigenpairs(L, Om, Pv, res_tol=res_tol,
                                     output=output)
+    out = [Om, Pv]
     if return_residuals:
-        return Om, Pv, res
-    return Om, Pv
+        out.append(res)
+    if return_info:
+        out.append(_info)
+    return tuple(out)
 
 
 def dist_moments(L: OperatorFamily, Gamma, mesh: Mesh, n_row_parts: int,
