@@ -84,4 +84,29 @@ if os.path.exists(NTNU):
     f_n = sol_n.params["ω"].real / 2 / np.pi
     print(f"NTNU unit-cell b=1 mode: {f_n:.2f} Hz (literature ≈1124 Hz)")
     assert abs(f_n - 1123.61) < 0.05
+
+    # the azimuthal mode FAMILY b = 0..DOS-1 (tutorial_07…md:119-130):
+    # the reference re-runs the solver DOS times; on the union pattern a
+    # change of b is only a coefficient change, so the whole family runs
+    # as ONE batched device iteration (nlevp/bloch_sweep.py)
+    import time as _time
+    from wavesandeigenvalues_jl_tpu.nlevp.bloch_sweep import bloch_mode_sweep
+    bvals = list(range(nunit.dos.DOS // 2 + 1))     # 0..6 (b and DOS-b pair)
+    t0 = _time.time()
+    fam = bloch_mode_sweep(ln, 1124.0, [float(b) for b in bvals],
+                           tol=1e-10, scale=2 * np.pi, maxiter=25)
+    t_batched = _time.time() - t0
+    t0 = _time.time()
+    serial = []
+    for b in bvals:
+        ln.params["b"] = float(b)
+        s_b, _, _ = mslp(ln, 1124.0, tol=1e-10, scale=2 * np.pi, maxiter=25)
+        serial.append(s_b.params["ω"])
+    t_serial = _time.time() - t0
+    print(f"azimuthal family (batched sweep, {t_batched:.1f}s vs serial "
+          f"{t_serial:.1f}s):")
+    for b, (s_b, _, _), om_s in zip(bvals, fam, serial):
+        f_b = s_b.params["ω"].real / 2 / np.pi
+        print(f"  b={b}: {f_b:9.2f} Hz   (serial: {om_s.real/2/np.pi:9.2f})")
+        assert abs(s_b.params["ω"] - om_s) < 1e-5 * abs(om_s)
 print("OK")

@@ -173,3 +173,38 @@ def test_ntnu_unit_equals_full_annulus():
     assert flag_u == 0 and flag_f == 0
     assert abs(f_u - f_f) < 1e-8
     assert abs(f_u.real - 1123.61) < 0.05
+
+
+def test_bloch_sweep_batched_matches_serial():
+    """The device-batched b-sweep (SURVEY §2.9 axis 5, VERDICT r3 #8)
+    reproduces the per-b serial mslp results: one batched device
+    iteration per Newton step for the whole azimuthal family instead of
+    DOS separate eigensolves."""
+    from wavesandeigenvalues_jl_tpu.nlevp.bloch_sweep import bloch_mode_sweep
+
+    unit, _full = _unit_full(DOS=6, nr=2, nphi=2, nz=4)
+    l = discretize(unit, DSCRP, _c(unit), b="b")
+    bvals = [0.0, 1.0, 2.0, 3.0]
+
+    serial = {}
+    for b in bvals:
+        l.params["b"] = b
+        sol, _, flag = mslp(l, 1124.0, tol=1e-10, scale=2 * np.pi,
+                            maxiter=25)
+        assert flag >= 0
+        serial[b] = sol.params["ω"]
+
+    swept = bloch_mode_sweep(l, 1124.0, bvals, tol=1e-10,
+                             scale=2 * np.pi, maxiter=25)
+    assert len(swept) == len(bvals)
+    for b, (sol, its, flag) in zip(bvals, swept):
+        assert flag >= 0
+        # same branch, same digits (both solvers end in the c128 polish)
+        assert abs(sol.params["ω"] - serial[b]) < 1e-6 * abs(serial[b]), (
+            b, sol.params["ω"], serial[b])
+        # residual-verified eigenpair
+        l.params["b"] = b
+        A = l(sol.params["ω"]).to_dense()
+        res = (np.linalg.norm(A @ sol.v) / np.linalg.norm(sol.v)
+               / np.linalg.norm(A, "fro"))
+        assert res < 1e-10, (b, res)
