@@ -636,10 +636,29 @@ class SlabSolver:
 
     # -- public API --------------------------------------------------------
 
+    def _prep_chunk(self, c, b):
+        """Host-side chunk preparation: residual CSR matrices, row
+        equilibration, scaled RHS.  Runs on a worker thread so chunk k+1's
+        prep overlaps chunk k's device factorization (scipy/numpy release
+        the GIL for the heavy parts)."""
+        t0 = time.perf_counter()
+        chunk = len(c)
+        l = b.shape[2]
+        mats = [self._host_csr(c[j]) for j in range(chunk)]
+        srow, dpad = self._equilibrate(c)
+        bsc = np.zeros((chunk, self.n + 1, l), np.complex128)
+        bsc[:, :self.n] = b * srow[:, :, None]
+        bnorm = np.linalg.norm(bsc, axis=1)              # [B, l] scaled
+        bnorm = np.where(bnorm == 0, 1.0, bnorm)
+        return {"mats": mats, "srow": srow, "dpad": dpad, "bsc": bsc,
+                "bnorm": bnorm, "b": b,
+                "prep_s": time.perf_counter() - t0}
+
     def solve(self, zs, V, output: bool = False, X0=None):
         """X[j] = L(z_j)⁻¹ V to complex128 accuracy (same contract as
         ShiftedPanelSolver.solve; ``X0`` accepted for interface parity and
         ignored — a direct solve needs no warm start)."""
+        from concurrent.futures import ThreadPoolExecutor
         zs = np.asarray(zs)
         Sn = len(zs)
         V = np.asarray(V, np.complex128)
@@ -652,24 +671,48 @@ class SlabSolver:
         cmax = self._chunk or self._auto_chunk()
         X = np.empty((Sn, self.n, l), np.complex128)
         relres = np.empty((Sn, l))
+        # chunk boundaries up front so the worker can prep chunk k+1
+        # while the device factorizes chunk k
+        bounds = []
         s0 = 0
         while s0 < Sn:
             rem = Sn - s0
             chunk = min(cmax, 1 << (rem - 1).bit_length())
             s1 = min(s0 + chunk, Sn)
+            bounds.append((s0, s1, chunk))
+            s0 = s1
+
+        def chunk_inputs(s0, s1, chunk):
             pad = chunk - (s1 - s0)
             c = coeffs[s0:s1]
             b = Bfull[s0:s1]
             if pad:
                 c = np.concatenate([c, np.repeat(c[-1:], pad, 0)])
                 b = np.concatenate([b, np.repeat(b[-1:], pad, 0)])
-            t0 = time.perf_counter()
-            mats = [self._host_csr(c[j]) for j in range(chunk)]
-            srow, dpad = self._equilibrate(c)
-            bsc = np.zeros((chunk, self.n + 1, l), np.complex128)
-            bsc[:, :self.n] = b * srow[:, :, None]
-            bnorm = np.linalg.norm(bsc, axis=1)          # [B, l] scaled
-            bnorm = np.where(bnorm == 0, 1.0, bnorm)
+            return c, b
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            fut = pool.submit(self._prep_chunk, *chunk_inputs(*bounds[0]))
+            self._solve_chunks(bounds, chunk_inputs, fut, pool, X, relres,
+                               l, output)
+        finally:
+            pool.shutdown(wait=True)
+        info = {"relres": relres, "max_relres": float(relres.max()),
+                "timings": dict(self.timings)}
+        return X, info
+
+    def _solve_chunks(self, bounds, chunk_inputs, fut, pool, X, relres, l,
+                      output):
+        for ci, (s0, s1, chunk) in enumerate(bounds):
+            t_w0 = time.perf_counter()
+            P = fut.result()
+            t_wait = time.perf_counter() - t_w0
+            if ci + 1 < len(bounds):
+                fut = pool.submit(self._prep_chunk,
+                                  *chunk_inputs(*bounds[ci + 1]))
+            mats, srow, dpad = P["mats"], P["srow"], P["dpad"]
+            bsc, bnorm, b = P["bsc"], P["bnorm"], P["b"]
             t1 = time.perf_counter()
             Xc, fact = self._factor_solve_chunk(dpad, bsc)
             t2 = time.perf_counter()
@@ -705,20 +748,21 @@ class SlabSolver:
                     best_res[j][upd] = rc[upd]
                     R[j][:, upd] = Rc[:, upd]
             t4 = time.perf_counter()
-            self.timings["prep_s"] += t1 - t0
+            # prep_s = worker-thread wall; prep_wait_s = the un-hidden
+            # remainder the main loop actually blocked on (chunk k+1's
+            # prep overlaps chunk k's device work)
+            self.timings["prep_s"] += P["prep_s"]
+            self.timings["prep_wait_s"] = (
+                self.timings.get("prep_wait_s", 0.0) + t_wait)
             self.timings["device_s"] += (t2 - t1) + (t4 - t3)
             self.timings["residual_s"] += t3 - t2
             if output:
-                print(f"slab chunk [{s0}:{s1}]: prep {t1 - t0:.1f}s  "
-                      f"factor+bwd {t2 - t1:.1f}s  residual {t3 - t2:.1f}s  "
-                      f"refine {t4 - t3:.1f}s")
+                print(f"slab chunk [{s0}:{s1}]: prep {P['prep_s']:.1f}s "
+                      f"(waited {t_wait:.1f}s)  factor+bwd {t2 - t1:.1f}s  "
+                      f"residual {t3 - t2:.1f}s  refine {t4 - t3:.1f}s")
             X[s0:s1] = best[:s1 - s0]
             relres[s0:s1] = best_res[:s1 - s0]
             del fact
-            s0 = s1
-        info = {"relres": relres, "max_relres": float(relres.max()),
-                "timings": dict(self.timings)}
-        return X, info
 
 
 __all__ = ["SlabSolver", "SlabPartition", "bfs_levels", "SLAB_BUDGET"]
