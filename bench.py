@@ -469,13 +469,19 @@ def main():
     except Exception as e:  # surface, don't hide
         comm_model = {"error": f"{type(e).__name__}: {e}"}
 
-    # --- committed big-mesh scale artifact (examples/scale_beyn.py) ------
+    # --- committed big-mesh scale artifacts (examples/scale_beyn.py) -----
     scale = None
     scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "SCALE.json")
     if os.path.exists(scale_path):
         with open(scale_path) as f:
             scale = json.load(f)
+    tier2 = None
+    t2_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SCALE_TIER2.json")
+    if os.path.exists(t2_path):
+        with open(t2_path) as f:
+            tier2 = json.load(f)
 
     best_rec = sweep[best]
     # small headline summary of the scale artifact (full detail goes to
@@ -558,6 +564,16 @@ def main():
                          if m["n_devices"] == 8), None),
                 }),
             "scale": scale_summary,
+            "scale_tier2": (None if tier2 is None else {
+                "fine_dim": tier2.get("fine_dim"),
+                "contour_nodes": tier2.get("contour_nodes"),
+                "beyn_fine_device_s":
+                    tier2.get("wall_s", {}).get("beyn_fine_device"),
+                "host_lu_extrapolated_s": tier2.get("wall_s", {}).get(
+                    "beyn_fine_host_lu_extrapolated"),
+                "passive_hz_fine": tier2.get("passive_hz_fine"),
+                "eig_residuals": tier2.get("eig_residuals"),
+            }),
         },
     }
     # full detail (bs sweep, smoke, large-op record, SCALE.json embed)
@@ -572,6 +588,7 @@ def main():
         "dist_gmres_scaling": dist_scaling,
         "dist_comm_model": comm_model,
         "scale_artifact": scale,
+        "scale_tier2_artifact": tier2,
         "headline": result,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
