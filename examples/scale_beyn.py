@@ -54,6 +54,9 @@ def main():
                          "EXTRAPOLATE the wall time linearly (per-node "
                          "splu cost is node-independent); the host "
                          "eigenvalue cross-check is skipped in that mode")
+    ap.add_argument("--contour", default=None,
+                    help="fre_lo,fre_hi,fim (Hz): rectangle "
+                         "[lo-i·fim, hi+i·fim] — default 150,1000,5")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -121,8 +124,12 @@ def main():
     if args.chunk:
         solver_kw["chunk"] = args.chunk
 
-    Gamma = [2 * np.pi * (150 - 5j), 2 * np.pi * (1000 - 5j),
-             2 * np.pi * (1000 + 5j), 2 * np.pi * (150 + 5j)]
+    if args.contour:
+        lo, hi, im = (float(x) for x in args.contour.split(","))
+    else:
+        lo, hi, im = 150.0, 1000.0, 5.0
+    Gamma = [2 * np.pi * (lo - 1j * im), 2 * np.pi * (hi - 1j * im),
+             2 * np.pi * (hi + 1j * im), 2 * np.pi * (lo + 1j * im)]
 
     # coarse-mesh ground truth (host LU Beyn, BASELINE.md: ≈272/695 Hz)
     t0 = time.time()
