@@ -167,9 +167,13 @@ def time_bsr(bsr, use_pallas: bool, NRHS: int, X, jax, reps=20):
 
 
 def chip_health(jax):
-    """Measure the chip's current matmul rate — this deployment's shared
-    v5e goes through multi-minute throttle phases (~20-40x slowdowns)
-    that would otherwise be recorded as kernel performance."""
+    """Measure the chip's current matmul rate AND HBM stream rate —
+    this deployment's shared v5e goes through multi-minute (sometimes
+    hours-long) throttle phases: compute 20-200x down, HBM bandwidth
+    capped near 20 GB/s.  Both are gated because they throttle
+    independently (a healthy MXU reading has been observed alongside a
+    ~20 GB/s HBM cap)."""
+    import numpy as np_
     import jax.numpy as jnp
     n = 4096
     a = jnp.ones((n, n), jnp.bfloat16)
@@ -188,15 +192,33 @@ def chip_health(jax):
         out = mm(a)
         settle_out(jax, out)
         best = min(best, (time.perf_counter() - t0) / 10)
-    return 2 * n ** 3 / best / 1e12           # Tflop/s
+    tflops = 2 * n ** 3 / best / 1e12
+
+    big = jnp.ones(117 * 1024 * 1024 // 4, jnp.float32)   # 117 MB
+
+    @jax.jit
+    def stream(x):
+        return jax.lax.fori_loop(0, 10, lambda i, v: v * 1.0000001, x)
+
+    out = stream(big)
+    settle_out(jax, out)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = stream(big)
+        settle_out(jax, out)
+        best = min(best, (time.perf_counter() - t0) / 10)
+    gbps = 2 * big.size * 4 / best / 1e9
+    return tflops, gbps
 
 
-def wait_for_healthy_chip(jax, min_tflops=30.0, max_wait_s=600.0):
-    """Block until the chip measures ≥ min_tflops (or give up).  Returns
-    the last health reading."""
+def wait_for_healthy_chip(jax, min_tflops=30.0, min_gbps=120.0,
+                          max_wait_s=600.0):
+    """Block until the chip measures healthy on BOTH axes (or give up).
+    Returns the last (tflops, GB/s) reading."""
     t_end = time.time() + max_wait_s
     h = chip_health(jax)
-    while h < min_tflops and time.time() < t_end:
+    while (h[0] < min_tflops or h[1] < min_gbps) and time.time() < t_end:
         time.sleep(15)
         h = chip_health(jax)
     return h
@@ -212,8 +234,8 @@ def main():
 
     backend = jax.devices()[0].platform
     kind = jax.devices()[0].device_kind
-    health_tflops = (wait_for_healthy_chip(jax)
-                     if backend in ("tpu", "axon") else None)
+    health = (wait_for_healthy_chip(jax)
+              if backend in ("tpu", "axon") else None)
     A = build_operator()
     n = A.shape[0]
     nnz = A.nnz
@@ -529,7 +551,8 @@ def main():
         "extra": {
             "accuracy": accuracy,
             "device_kind": kind,
-            "chip_health_bf16_tflops_at_bench": health_tflops,
+            "chip_health_at_bench": (None if health is None else {
+                "bf16_tflops": health[0], "hbm_gbps": health[1]}),
             "kernel": "pallas_bsr" if use_pallas else "xla_bsr",
             "dim": n,
             "nnz": nnz,
