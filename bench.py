@@ -511,15 +511,21 @@ def main():
     scale_summary = None
     if scale:
         w = scale.get("wall_s", {})
+        # prefer the UNCONTENDED standalone host measurement when present
+        # (the in-run host check can share the 2-core host with other
+        # work — examples/host_contour_check.py)
+        host_s = w.get("beyn_fine_host_lu_solo") or w.get(
+            "beyn_fine_host_lu")
         scale_summary = {
             "fine_dim": scale.get("fine_dim"),
             "contour_nodes": scale.get("contour_nodes"),
             "beyn_fine_device_s": w.get("beyn_fine_device"),
-            "beyn_fine_host_lu_s": w.get("beyn_fine_host_lu"),
+            "beyn_fine_host_lu_s": host_s,
+            "host_measurement": ("solo" if w.get("beyn_fine_host_lu_solo")
+                                 else "in-run"),
             "device_vs_host_speedup": (
-                w["beyn_fine_host_lu"] / w["beyn_fine_device"]
-                if w.get("beyn_fine_host_lu") and w.get("beyn_fine_device")
-                else None),
+                host_s / w["beyn_fine_device"]
+                if host_s and w.get("beyn_fine_device") else None),
             "passive_hz_fine": scale.get("passive_hz_fine"),
             "eig_residuals": scale.get("eig_residuals"),
         }
@@ -594,6 +600,10 @@ def main():
                     tier2.get("wall_s", {}).get("beyn_fine_device"),
                 "host_lu_extrapolated_s": tier2.get("wall_s", {}).get(
                     "beyn_fine_host_lu_extrapolated"),
+                "device_s_per_node": tier2.get("device_s_per_node"),
+                "host_s_per_node": tier2.get("host_s_per_node"),
+                "device_vs_host_per_node":
+                    tier2.get("device_vs_host_per_node_speedup"),
                 "passive_hz_fine": tier2.get("passive_hz_fine"),
                 "eig_residuals": tier2.get("eig_residuals"),
             }),
