@@ -103,10 +103,18 @@ if os.path.exists(NTNU):
         s_b, _, _ = mslp(ln, 1124.0, tol=1e-10, scale=2 * np.pi, maxiter=25)
         serial.append(s_b.params["ω"])
     t_serial = _time.time() - t0
-    print(f"azimuthal family (batched sweep, {t_batched:.1f}s vs serial "
-          f"{t_serial:.1f}s):")
+    print(f"azimuthal family (batched sweep {t_batched:.1f}s vs serial "
+          f"{t_serial:.1f}s — the batched dense LU wins on DEVICE, a "
+          f"2-core CPU run inverts the comparison):")
     for b, (s_b, _, _), om_s in zip(bvals, fam, serial):
         f_b = s_b.params["ω"].real / 2 / np.pi
         print(f"  b={b}: {f_b:9.2f} Hz   (serial: {om_s.real/2/np.pi:9.2f})")
-        assert abs(s_b.params["ω"] - om_s) < 1e-5 * abs(om_s)
+        if b == 0:
+            # at b=0 the pure-Neumann unit cell has the trivial constant
+            # mode at ω≈0 — both solvers land on it; a relative
+            # comparison at |ω|≈0 is meaningless
+            assert abs(s_b.params["ω"]) / 2 / np.pi < 1.0
+            assert abs(om_s) / 2 / np.pi < 1.0
+        else:
+            assert abs(s_b.params["ω"] - om_s) < 1e-5 * abs(om_s)
 print("OK")
