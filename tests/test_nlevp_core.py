@@ -268,3 +268,49 @@ def test_moments2eigs_multiblock_K2():
     for om in (1j, -1j, 1.0, 0.5, 1.0 / 3.0):
         assert np.min(np.abs(Om - om)) < 1e-8, om
     assert len(Om) == 5
+
+
+def test_equilibrated_residual_rejects_corrupted_pair():
+    """VERDICT r4 #8: on a Y=1e15-penalty family, the plain
+    ‖Lv‖/(‖L‖_F‖v‖) residual is deflated ~13-16 orders of magnitude by
+    the penalty rows, so a deliberately corrupted eigenpair passes
+    res_tol=0.01; the row-equilibrated metric must REJECT it while
+    keeping the true pair."""
+    import numpy as np
+    from wavesandeigenvalues_jl_tpu.mesh.generate import rijke_mesh
+    from wavesandeigenvalues_jl_tpu.models import discretize
+    from wavesandeigenvalues_jl_tpu.nlevp import mslp
+    from wavesandeigenvalues_jl_tpu.nlevp.solvers import (
+        row_equilibrated_residual, verify_eigenpairs)
+
+    mesh = rijke_mesh(n_rings=2, nz_cold=10, nz_hot=10)
+    gamma, R, Tu, Tb = 1.4, 287.05, 300.0, 1200.0
+    c = mesh.generate_field(
+        lambda x, y, z: np.where(z < 0, np.sqrt(gamma * R * Tu),
+                                 np.sqrt(gamma * R * Tb)), order="const")
+    L = discretize(mesh, {"Interior": ("interior", ()),
+                          "Outlet": ("admittance", ("Y", 1e15))}, c)
+    sol, _its, flag = mslp(L, 272 * 2 * np.pi, maxiter=30, tol=1e-11)
+    assert flag == 0
+    om = sol.params[sol.eigval]
+    v_true = sol.v / np.linalg.norm(sol.v)
+
+    # corrupt the eigenvector with 5% noise: visible at O(5e-2) in the
+    # equilibrated metric, deflated to ~3e-3 in the Frobenius one
+    rng = np.random.default_rng(3)
+    noise = rng.standard_normal(L.size) + 1j * rng.standard_normal(L.size)
+    v_bad = v_true + 0.05 * noise / np.linalg.norm(noise)
+
+    Lz = L(complex(om))
+    res_frob_bad = (np.linalg.norm(Lz @ v_bad) / Lz.norm()
+                    / np.linalg.norm(v_bad))
+    assert res_frob_bad < 0.01          # the OLD metric would accept it
+    assert row_equilibrated_residual(Lz, v_bad) > 0.01   # the new rejects
+    assert row_equilibrated_residual(Lz, v_true) < 1e-10  # true pair kept
+
+    # and through the user-facing filter
+    Om = np.array([om, om])
+    P = np.stack([v_true, v_bad], axis=1)
+    Om_f, P_f, res = verify_eigenpairs(L, Om, P, res_tol=0.01)
+    assert len(Om_f) == 1
+    assert np.allclose(P_f[:, 0], v_true)

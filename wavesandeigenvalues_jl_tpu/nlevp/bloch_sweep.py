@@ -146,7 +146,8 @@ def bloch_mode_sweep(L: OperatorFamily, z0, b_values: Sequence[float],
     every b) or per-b sequence."""
     import jax
 
-    from .solvers import ITSOL_CONVERGED, ITSOL_MAXITER
+    from .solvers import (ITSOL_CONVERGED, ITSOL_IMPOSSIBLE, ITSOL_ISNAN,
+                          ITSOL_MAXITER)
 
     L.ensure_aux()
     S = L._stack()
@@ -230,6 +231,7 @@ def bloch_mode_sweep(L: OperatorFamily, z0, b_values: Sequence[float],
 
     meta = (n, K, nnz, N)
     active = np.ones(Bn, bool)
+    nan_dz = np.zeros(Bn, bool)
     iters = np.zeros(Bn, int)
     lam = np.full(Bn, np.inf, np.complex128)
     dz_floor = np.maximum(tol_s, 1e-9 * np.maximum(np.abs(zs), 1.0))
@@ -243,6 +245,7 @@ def bloch_mode_sweep(L: OperatorFamily, z0, b_values: Sequence[float],
         dz = sc[0] + 1j * sc[1]
         lam = sc[2] + 1j * sc[3]
         upd = active & np.isfinite(dz)
+        nan_dz |= active & ~np.isfinite(dz)   # ADVICE r4: non-finite update
         zs[upd] = zs[upd] + dz[upd]
         iters[upd] += 1
         active &= np.abs(dz) > np.maximum(dz_floor, 1e-5 * np.abs(zs))
@@ -262,6 +265,11 @@ def bloch_mode_sweep(L: OperatorFamily, z0, b_values: Sequence[float],
         v = V[i].astype(CDTYPE)
         w = W[i].astype(CDTYPE)
         flag = ITSOL_CONVERGED if iters[i] < maxiter else ITSOL_MAXITER
+        if nan_dz[i]:
+            # ADVICE r4: a wavenumber whose Newton update went non-finite
+            # was deactivated without converging — do not report it as
+            # converged (the polish pass below may still rescue it)
+            flag = ITSOL_ISNAN if not np.isfinite(zs[i]) else ITSOL_IMPOSSIBLE
         L.params[b_param] = b
         if polish:
             try:
@@ -287,6 +295,8 @@ def bloch_mode_sweep(L: OperatorFamily, z0, b_values: Sequence[float],
                     v, w = vh, wh
                     lam[i] = lam_p
                     if abs(dzp) <= tol_s:
+                        if nan_dz[i]:       # rescued by the host polish
+                            flag = ITSOL_CONVERGED
                         break
             except Exception:
                 pass

@@ -377,8 +377,8 @@ def try_fused_local(L: OperatorFamily, z, *, maxiter, tol, relax, lam_tol,
     [1/0]-Padé root)."""
     import jax
 
-    from .solvers import (ITSOL_CONVERGED, ITSOL_MAXITER,
-                          ITSOL_SLOW_CONVERGENCE)
+    from .solvers import (ITSOL_CONVERGED, ITSOL_IMPOSSIBLE, ITSOL_ISNAN,
+                          ITSOL_MAXITER, ITSOL_SLOW_CONVERGENCE)
 
     try:
         stack = L._stack()
@@ -510,6 +510,13 @@ def try_fused_local(L: OperatorFamily, z, *, maxiter, tol, relax, lam_tol,
         flag = ITSOL_CONVERGED
     elif abs(z - z0) <= tol_s:
         flag = ITSOL_SLOW_CONVERGENCE
+    elif np.isnan(z):
+        flag = ITSOL_ISNAN                       # ADVICE r4: no fall-through
+    else:
+        # device loop exited at dev_tol but the host polish never reached
+        # the requested tol — mirror _local_engine's tail instead of
+        # returning the initial ITSOL_CONVERGED for an unpolished iterate
+        flag = ITSOL_IMPOSSIBLE
     if output:
         print(f"{n_it}\t{abs(lam):.3e}\t{abs(z - z0):.3e}\t{z / scale}")
         print(f"Eigenvalue: {z / scale}  ({z / scale / 2 / np.pi} /2π)")

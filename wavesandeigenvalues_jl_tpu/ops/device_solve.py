@@ -312,6 +312,8 @@ class DeviceLU:
     def _m_fingerprint(M):
         data = M.data if isinstance(M, CSR) else np.asarray(M)
         flat = np.asarray(data).ravel()
+        if flat.size == 0:                       # ADVICE r4: empty matrix
+            return (0, flat.size)
         probe = (complex(flat[0]), complex(flat[-1]),
                  complex(flat[len(flat) // 2]), flat.size)
         return probe

@@ -97,8 +97,18 @@ class WindowBsr:
             blocks[t, rr, k] = data[b]
             wcol[t, rr, k] = rel[b]
             fill[i] += 1
-        return cls(blocks, wcol, nslot, ntiles, mslot, n, npad,
-                   int(A.nnz))
+        wb = cls(blocks, wcol, nslot, ntiles, mslot, n, npad,
+                 int(A.nnz))
+        if wb.slot_fill < 0.05:
+            import warnings
+            warnings.warn(
+                f"WindowBsr slot_fill collapsed to {wb.slot_fill:.3f}: "
+                "one dense block-row inflates the slot padding for every "
+                "(tile, block-row), re-introducing the padded-stream "
+                "inefficiency this layout exists to remove — consider the "
+                "plain BSR kernel (ops.pallas_spmv) for this operator",
+                stacklevel=2)
+        return wb
 
     @property
     def padded_block_bytes(self) -> float:
