@@ -386,7 +386,13 @@ def try_fused_local(L: OperatorFamily, z, *, maxiter, tol, relax, lam_tol,
         if cached is not None and cached[0] is stack:
             solver = cached[1]
         else:
-            solver = FusedPencilSolver(L)
+            if stack.shape[0] <= FUSED_MAX_DIM:
+                solver = FusedPencilSolver(L)
+            else:
+                # slab-direct variant for the dimensions past the dense
+                # VMEM planes (VERDICT r4 #5b) — same step interface
+                from .fused_slab import FusedSlabPencilSolver
+                solver = FusedSlabPencilSolver(L)
             L._fused_solver = (L._stack(), solver)
     except Exception:
         return None

@@ -737,6 +737,7 @@ class SlabSolver:
                     break
                 prev_max = cur_max
                 dX = self._double_resolve_chunk(fact, R, l)
+                t_h0 = time.perf_counter()
                 cand = best + dX
                 for j in range(chunk):
                     Rc = np.zeros_like(R[j])
@@ -747,6 +748,9 @@ class SlabSolver:
                     best[j][:, upd] = cand[j][:, upd]
                     best_res[j][upd] = rc[upd]
                     R[j][:, upd] = Rc[:, upd]
+                self.timings["refine_host_resid_s"] = (
+                    self.timings.get("refine_host_resid_s", 0.0)
+                    + time.perf_counter() - t_h0)
             t4 = time.perf_counter()
             # prep_s = worker-thread wall; prep_wait_s = the un-hidden
             # remainder the main loop actually blocked on (chunk k+1's
@@ -755,6 +759,10 @@ class SlabSolver:
             self.timings["prep_wait_s"] = (
                 self.timings.get("prep_wait_s", 0.0) + t_wait)
             self.timings["device_s"] += (t2 - t1) + (t4 - t3)
+            self.timings["device_factor_s"] = (
+                self.timings.get("device_factor_s", 0.0) + (t2 - t1))
+            self.timings["device_refine_s"] = (
+                self.timings.get("device_refine_s", 0.0) + (t4 - t3))
             self.timings["residual_s"] += t3 - t2
             if output:
                 print(f"slab chunk [{s0}:{s1}]: prep {P['prep_s']:.1f}s "
