@@ -444,6 +444,59 @@ def main():
             sol_d.params["ω"] - om_ref)
         accuracy["device_section"] = eig_stamps
 
+    # --- device eigensolve AT THE BENCH DIM (VERDICT r4 #5b) -------------
+    # mslp on the 7,259-DOF passive bench operator: host sparse-LU engine
+    # vs the fused slab-direct device path (nlevp/fused_slab.py)
+    eig7k = {}
+    if backend not in ("tpu", "axon"):
+        eig7k = {"skipped": "interpret-mode pallas too slow off-TPU"}
+    else:
+      try:
+        from wavesandeigenvalues_jl_tpu.models import discretize as _disc7
+        from wavesandeigenvalues_jl_tpu.mesh.generate import (
+            rijke_mesh as _rijke7)
+        from wavesandeigenvalues_jl_tpu.nlevp import mslp as _mslp7
+        from wavesandeigenvalues_jl_tpu.utils.config import (
+            set_solve_backend as _ssb)
+
+        mesh7 = _rijke7(n_rings=4, nz_cold=58, nz_hot=58)
+        gamma, R, Tu, Tb = 1.4, 287.05, 300.0, 1200.0
+        c7 = mesh7.generate_field(
+            lambda x, y, z: np.where(z < 0, np.sqrt(gamma * R * Tu),
+                                     np.sqrt(gamma * R * Tb)))
+        L7 = _disc7(mesh7, {"Interior": ("interior", ()),
+                            "Outlet": ("admittance", ("Y", 1e15))}, c7)
+        t0 = time.perf_counter()
+        sol7h, its7h, _f = _mslp7(L7, 272 * 2 * np.pi, maxiter=30,
+                                  tol=1e-11)
+        t7_host = time.perf_counter() - t0
+        om7h = sol7h.params["ω"]
+
+        def _dev7():
+            prev = _ssb("device")
+            try:
+                _mslp7(L7, 272 * 2 * np.pi, maxiter=30, tol=1e-11)  # warm
+                t0 = time.perf_counter()
+                sol, its, _fl = _mslp7(L7, 272 * 2 * np.pi, maxiter=30,
+                                       tol=1e-11)
+                return time.perf_counter() - t0, its, sol
+            finally:
+                _ssb(prev)
+
+        (t7_dev, its7d, sol7d), st7 = stamped_section(
+            jax, backend in ("tpu", "axon"), _dev7, retries=1)
+        eig7k = {
+            "dim": int(L7.size),
+            "wall_s_host": t7_host, "iters_host": its7h,
+            "wall_s_device": t7_dev, "iters_device": its7d,
+            "device_abs_err_vs_host_rad_s": abs(
+                sol7d.params["ω"] - om7h),
+            "path": "fused_slab",
+        }
+        eig7k.update(st7)
+      except Exception as e:  # surface, don't hide
+        eig7k = {"error": f"{type(e).__name__}: {e}"}
+
     # --- honest HBM roofline: SpMM on a working set >> VMEM --------------
     # (VERDICT r2 #4: the 33 MB bench operator stays cache-resident across
     # timing reps, so "bytes/time" overshoots the HBM peak.  This section
@@ -625,6 +678,13 @@ def main():
                 if k in accuracy}
     if "device_section" in accuracy:
         acc_slim["device_health"] = _stamps_slim(accuracy["device_section"])
+    eig7k_slim = (dict(eig7k) if ("error" in eig7k or "skipped" in eig7k)
+                  else {
+        **{k: _round(eig7k[k]) for k in
+           ("dim", "wall_s_host", "wall_s_device",
+            "device_abs_err_vs_host_rad_s") if k in eig7k},
+        "health": _stamps_slim(eig7k),
+    })
     result = {
         "metric": metric,
         "value": _round(headline_value),
@@ -634,6 +694,7 @@ def main():
             "device_kind": kind,
             "kernel": "pallas_window_bsr" if use_pallas else "xla_bsr",
             "accuracy": acc_slim,
+            "eigensolve_7k": eig7k_slim,
             "hbm_roofline": {
                 **{k: _round(large.get(k)) for k in
                    ("dim", "working_set_MB", "nnz_per_s", "achieved_GBps",
@@ -654,6 +715,7 @@ def main():
         "host_baseline_nnz_per_s": host_nnz_per_s,
         "device_smoke": smoke,
         "accuracy": accuracy,
+        "eigensolve_7k": eig7k,
         "large_operator": large,
         "dist_gmres_scaling": dist_scaling,
         "dist_comm_model": comm_model,
