@@ -592,6 +592,23 @@ def main():
     except Exception as e:  # surface, don't hide
         comm_model = {"error": f"{type(e).__name__}: {e}"}
 
+    # --- strong-scaling model on the REAL 57k operator (VERDICT r4 #6):
+    # per-device compute measured on THIS backend at every split size,
+    # communication from the exact per-iteration accounting + ICI model
+    strong = None
+    try:
+        from wavesandeigenvalues_jl_tpu.parallel.scaling import (
+            dist_gmres_strong_report)
+        A_strong = Alr if isinstance(large, dict) and "error" not in large \
+            else Ar
+        strong, strong_stamps = stamped_section(
+            jax, backend in ("tpu", "axon"),
+            lambda: dist_gmres_strong_report(
+                A_strong, device_counts=(1, 4, 16, 64)), retries=1)
+        strong.update(strong_stamps)
+    except Exception as e:  # surface, don't hide
+        strong = {"error": f"{type(e).__name__}: {e}"}
+
     # --- committed big-mesh scale artifacts (examples/scale_beyn.py) -----
     scale = None
     scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -704,6 +721,16 @@ def main():
             },
             "small_op_nnz_per_s_cache_resident": _round(device_nnz_per_s),
             "small_op_health": _stamps_slim(sweep.get(best, {})),
+            "strong_scaling": (
+                {"error": strong.get("error")} if (strong is None
+                                                   or "error" in strong)
+                else {
+                    "backend": strong["backend"],
+                    "eff": {str(r["n_devices"]):
+                            _round(r["strong_efficiency"], 3)
+                            for r in strong["records"]},
+                    "health": _stamps_slim(strong),
+                }),
         },
     }
     # full detail (bs sweep, smoke, large-op record, SCALE.json embed,
@@ -719,6 +746,7 @@ def main():
         "large_operator": large,
         "dist_gmres_scaling": dist_scaling,
         "dist_comm_model": comm_model,
+        "dist_strong_scaling": strong,
         "scale_artifact": scale,
         "scale_summary": scale_summary,
         "scale_tier2_artifact": tier2,
