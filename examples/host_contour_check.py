@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--nsplit", type=int, default=2)
     ap.add_argument("--N", type=int, default=32)
     ap.add_argument("--l", type=int, default=8)
+    ap.add_argument("--max-nodes", type=int, default=None,
+                    help="measure only this many quadrature nodes and "
+                         "extrapolate linearly (per-node splu cost is "
+                         "node-independent); VERDICT r4 #4 asks >= 8 "
+                         "measured nodes for the tier-2 baseline")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -54,10 +59,14 @@ def main():
     S = L._stack()
     vals = np.asarray(S.values, np.complex128)
     eig = L.eigval
-    print(f"dim {L.size}, {len(zs)} nodes")
+    n_run = len(zs) if args.max_nodes is None else min(args.max_nodes,
+                                                       len(zs))
+    print(f"dim {L.size}, {n_run}/{len(zs)} nodes", flush=True)
     t0 = time.time()
+    per_node = []
     A = np.zeros((L.size, args.l, 2), np.complex128)
-    for i, (z, w) in enumerate(zip(zs, ws)):
+    for i, (z, w) in enumerate(zip(zs[:n_run], ws[:n_run])):
+        tn = time.time()
         L.params[eig] = complex(z)
         data = L.coefficients({}) @ vals
         M = sp.csr_matrix((data, S.indices, S.indptr),
@@ -65,25 +74,48 @@ def main():
         X = spl.splu(M).solve(V)
         A[:, :, 0] += w * X
         A[:, :, 1] += w * z * X
-        if (i + 1) % 16 == 0:
-            print(f"  node {i + 1}/{len(zs)}  ({time.time() - t0:.0f}s)")
+        per_node.append(time.time() - tn)
+        print(f"  node {i + 1}/{n_run}  ({time.time() - t0:.0f}s)",
+              flush=True)
     t_host = time.time() - t0
-    print(f"host splu contour: {t_host:.1f} s")
+    print(f"host splu contour ({n_run} nodes): {t_host:.1f} s")
 
     out = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), os.pardir, "SCALE.json")
     if os.path.exists(out):
         with open(out) as f:
             rec = json.load(f)
-        rec.setdefault("wall_s", {})["beyn_fine_host_lu_solo"] = t_host
-        rec["wall_s"]["note"] = (
-            "beyn_fine_host_lu_solo measured UNCONTENDED by "
-            "examples/host_contour_check.py; beyn_fine_host_lu from the "
-            "combined run shared the host CPU with a test suite for its "
-            "first ~10 min")
+        w_ = rec.setdefault("wall_s", {})
+        if n_run == len(zs):
+            w_["beyn_fine_host_lu_solo"] = t_host
+            w_["note"] = (
+                "beyn_fine_host_lu_solo measured UNCONTENDED by "
+                "examples/host_contour_check.py")
+        else:
+            w_["host_lu_subset"] = t_host
+            w_["beyn_fine_host_lu_extrapolated"] = (
+                t_host * len(zs) / n_run)
+            rec["host_lu_subset_nodes"] = n_run
+            rec["host_lu_per_node_s"] = per_node
+            rec["host_s_per_node"] = t_host / n_run
+            w_["host_note"] = (
+                f"host subset measured UNCONTENDED over {n_run} of "
+                f"{len(zs)} nodes by examples/host_contour_check.py; "
+                "total extrapolated linearly (per-node splu cost is "
+                "node-independent)")
         with open(out, "w") as f:
             json.dump(rec, f, indent=1)
         print(f"patched {out}")
+    else:
+        with open(out, "w") as f:
+            json.dump({"nsplit": args.nsplit, "N": args.N, "l": args.l,
+                       "nodes_measured": n_run, "nodes_total": len(zs),
+                       "host_subset_s": t_host,
+                       "host_s_per_node": t_host / n_run,
+                       "host_lu_per_node_s": per_node,
+                       "extrapolated_s": t_host * len(zs) / n_run}, f,
+                      indent=1)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":

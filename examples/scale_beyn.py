@@ -64,6 +64,9 @@ def main():
                          "affordable tier-2 substitute for a full host "
                          "contour (VERDICT r4 #3/#4)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--checkpoint", default="/tmp/scale_moments.npz",
+                    help="moment-checkpoint path (digest-validated; lets "
+                         "an interrupted contour resume)")
     args = ap.parse_args()
 
     import jax
@@ -199,7 +202,7 @@ def main():
         Lf, Gamma, l=args.l, N=args.N, rtol=1e-12, dense=False,
         output=True, method=args.method, res_tol=args.res_tol,
         return_residuals=True, return_info=True,
-        checkpoint="/tmp/scale_moments.npz", **solver_kw)
+        checkpoint=args.checkpoint, **solver_kw)
     t_fine = time.time() - t0
     phases = dict(minfo.get("solver_timings", {}))
     # prep_s runs on a worker thread OVERLAPPED with device work — the

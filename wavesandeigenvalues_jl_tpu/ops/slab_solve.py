@@ -736,7 +736,13 @@ class SlabSolver:
                 if cur_max < self.refine_tol or cur_max > 0.25 * prev_max:
                     break
                 prev_max = cur_max
-                dX = self._double_resolve_chunk(fact, R, l)
+                # adaptive sweep depth: each sweep gains ~κ·ε_f32 ≈ 1e-3,
+                # so when one sweep suffices to land refine_tol the
+                # double-dispatch would waste its second sweep
+                if cur_max < self.refine_tol * 1e3:
+                    dX = self._resolve_chunk(fact, R, l)
+                else:
+                    dX = self._double_resolve_chunk(fact, R, l)
                 t_h0 = time.perf_counter()
                 cand = best + dX
                 for j in range(chunk):
