@@ -525,35 +525,53 @@ def main():
               + 1j * rng.standard_normal((nl, NRHS))).astype(np.complex64)
         from wavesandeigenvalues_jl_tpu.ops.window_spmm import (WindowBsr,
                                                                 WindowSpmm)
-        wb = WindowBsr.from_csr(Alr)
-        op_l = WindowSpmm(wb, nrhs=NRHS)
-        # correctness assert before timing
-        Yl = op_l(Xl)
+        from wavesandeigenvalues_jl_tpu.ops.window_spmm2 import (ChunkBsr,
+                                                                 ChunkSpmm)
         Ahl = sp.csr_matrix((Alr.data, Alr.indices, Alr.indptr),
                             shape=Alr.shape)
-        rel_l = float(np.linalg.norm(np.asarray(Yl)[:nl] - Ahl @ Xl)
-                      / np.linalg.norm(Ahl @ Xl))
-        assert rel_l < 5e-5, f"window SpMM wrong: rel err {rel_l}"
-        dt_l, l_stamps = stamped_section(
-            jax, backend in ("tpu", "axon"),
-            lambda: time_window(op_l, Xl, jax), retries=2)
-        ws = op_l.stream_bytes
+        Yl_ref = Ahl @ Xl
         bw = HBM_BW.get(kind)
-        large = {
-            "dim": nl, "nnz": int(Al.nnz), "kernel": "window_bsr",
-            "slot_fill": wb.slot_fill,
-            "working_set_MB": ws / 1e6,
-            "ms_per_apply": dt_l * 1e3,
-            "nnz_per_s": Al.nnz * NRHS / dt_l,
-            "achieved_GBps": ws / dt_l / 1e9,
-            "roofline_frac": (ws / bw) / dt_l if bw else None,
-            "rel_err_vs_host": rel_l,
-            "note": ("working set exceeds VMEM -> streams HBM; chained "
-                     "in-program timing (per-dispatch overhead ~1.3 ms "
-                     "on this runtime); streamed bytes = compact nonzero "
-                     "128-blocks + 3x panel + output"),
-        }
-        large.update(l_stamps)
+        cands = {}
+        # A/B both window kernels (r4 slot-padded 128-blocks vs r5
+        # compact chunked 8x128); each timed with health stamps
+        for kname, mk in (
+                ("window_bsr", lambda: WindowSpmm(WindowBsr.from_csr(Alr),
+                                                  nrhs=NRHS)),
+                ("chunk_bsr8", lambda: ChunkSpmm(ChunkBsr.from_csr(Alr),
+                                                 nrhs=NRHS))):
+            try:
+                op_l = mk()
+                Yl = op_l(Xl)
+                rel_l = float(np.linalg.norm(np.asarray(Yl)[:nl] - Yl_ref)
+                              / np.linalg.norm(Yl_ref))
+                assert rel_l < 5e-5, f"{kname} wrong: rel err {rel_l}"
+                dt_l, l_stamps = stamped_section(
+                    jax, backend in ("tpu", "axon"),
+                    lambda: time_window(op_l, Xl, jax), retries=2)
+                ws = op_l.stream_bytes
+                rec_l = {
+                    "dim": nl, "nnz": int(Al.nnz), "kernel": kname,
+                    "working_set_MB": ws / 1e6,
+                    "ms_per_apply": dt_l * 1e3,
+                    "nnz_per_s": Al.nnz * NRHS / dt_l,
+                    "achieved_GBps": ws / dt_l / 1e9,
+                    "roofline_frac": (ws / bw) / dt_l if bw else None,
+                    "rel_err_vs_host": rel_l,
+                }
+                rec_l.update(l_stamps)
+                cands[kname] = rec_l
+            except Exception as e:
+                cands[kname] = {"kernel": kname,
+                                "error": f"{type(e).__name__}: {e}"}
+        ok = [r for r in cands.values() if "nnz_per_s" in r]
+        if not ok:
+            raise RuntimeError(f"both window kernels failed: {cands}")
+        large = max(ok, key=lambda r: r["nnz_per_s"])
+        large = dict(large)
+        large["note"] = ("working set exceeds VMEM -> streams HBM; "
+                         "chained in-program timing; best of the r4/r5 "
+                         "window kernels (both records in variants)")
+        large["variants"] = cands
     except Exception as e:  # surface, don't hide
         large = {"error": f"{type(e).__name__}: {e}"}
 
@@ -714,8 +732,9 @@ def main():
             "eigensolve_7k": eig7k_slim,
             "hbm_roofline": {
                 **{k: _round(large.get(k)) for k in
-                   ("dim", "working_set_MB", "nnz_per_s", "achieved_GBps",
-                    "roofline_frac", "rel_err_vs_host", "error")
+                   ("kernel", "dim", "working_set_MB", "nnz_per_s",
+                    "achieved_GBps", "roofline_frac", "rel_err_vs_host",
+                    "error")
                    if k in large},
                 "health": _stamps_slim(large),
             },

@@ -74,3 +74,35 @@ def test_window_spmm_helmholtz_operator():
     Y = op(X)
     assert (np.linalg.norm(Y - Ah @ X)
             / np.linalg.norm(Ah @ X)) < 5e-6
+
+
+def test_chunk_spmm2_matches_host():
+    """r5 chunked 8x128 window kernel (ops/window_spmm2.py) vs host CSR."""
+    import numpy as np
+    import scipy.sparse as sp
+    from wavesandeigenvalues_jl_tpu.ops.sparse import CSR
+    from wavesandeigenvalues_jl_tpu.ops.window_spmm2 import ChunkBsr, ChunkSpmm
+
+    rng = np.random.default_rng(1)
+    n, band, nnz_row = 2200, 350, 10
+    rows, cols = [], []
+    for i in range(n):
+        lo, hi = max(0, i - band), min(n, i + band)
+        c = rng.choice(np.arange(lo, hi), size=min(nnz_row, hi - lo),
+                       replace=False)
+        rows += [i] * len(c)
+        cols += list(c)
+    rows = np.array(rows)
+    cols = np.array(cols)
+    vals = rng.standard_normal(len(rows)) + 1j * rng.standard_normal(len(rows))
+    A = CSR.from_coo(rows, cols, vals, (n, n))
+    cb = ChunkBsr.from_csr(A)
+    assert cb.a_bytes < 0.6 * 8.0 * (3 * 8 * 128 * 128 * cb.ntiles * 8)
+    op = ChunkSpmm(cb, nrhs=128, interpret=True)
+    X = (rng.standard_normal((n, 128))
+         + 1j * rng.standard_normal((n, 128))).astype(np.complex64)
+    Y = op(X)
+    Ah = sp.csr_matrix((A.data, A.indices, A.indptr), shape=A.shape)
+    ref = Ah @ X
+    rel = np.linalg.norm(Y[:n] - ref) / np.linalg.norm(ref)
+    assert rel < 5e-6

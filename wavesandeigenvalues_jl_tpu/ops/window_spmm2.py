@@ -1,0 +1,289 @@
+"""Windowed sublane-block SpMM v2 — 8×128 blocks, chunk-shared gathers.
+
+VERDICT r4 #2 asks for streamed bytes ∝ nnz.  Measured on the 57k-DOF
+bench operator, the fill structure rules out the naive fixes:
+
+* the r4 kernel streams slot-padded 128×128 blocks: 587 MB of A planes
+  for a 6.6 MB c64 payload;
+* 8×128 BSR (the suggested granularity) is still 292 MB — FEM rows have
+  ~14 nnz spread over a 547-wide band, so *any* dense-block layout at
+  ≥128-lane width stays ~2% intra-block dense;
+* true padded-ELL (11 MB) needs a per-row gather across the 3-tile
+  window, which Mosaic cannot lower (``tpu.dynamic_gather`` is
+  single-vreg only: "Multiple source vregs along gather dimension").
+
+This kernel takes the best reachable point: nonzero 8×128 blocks stored
+COMPACTLY (no slot padding — only ~5% chunk-rounding + per-tile
+balance padding), grouped into chunks of ``CHUNK`` blocks that all
+share ONE window block-column, so each grid step does
+
+    1 dynamic-sublane window slice  [128, r]     (pl.ds — supported)
+    1 complex MXU dot  [CHUNK·8, 128] × [128, r]
+    CHUNK dynamic-sublane RMWs      [8, r]  into the tile accumulator
+
+Streamed A bytes ≈ compact-8×128 payload (~330 MB vs 587 r4, vs the
+292 MB floor of this block shape); X streams as the same static 3-tile
+window (3× panel), Y once.
+
+Reference counterpart: the reference streams exactly nnz through
+SuiteSparse CSR (beyn.jl:62-74); this is the closest TPU-lowerable
+layout for this fill structure, with the measured block-fill table
+documented above rather than an aspirational byte claim.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .sparse import CSR
+
+TILE = 1024
+BS = 128             # block width (lanes)
+BH = 8               # block height (sublanes)
+RPT = TILE // BS     # 128-col blocks per tile (window = 3*RPT)
+CHUNK = 8            # 8×128 blocks per grid step (shared window column)
+
+
+@dataclass
+class ChunkBsr:
+    """Host-side layout.
+
+    ``blocks`` [ntiles, max_cpt, CHUNK*BH, BS] f32-pair-able complex —
+    compact nonzero 8×128 blocks, chunked by shared window column.
+    ``wcol``  [ntiles, max_cpt] int32 — window block-col of each chunk.
+    ``soff``  [ntiles, max_cpt, CHUNK] int32 — sublane offset (0..TILE-BH)
+    of each block's output rows inside its tile (padding blocks: 0 with
+    zero data).
+    """
+
+    blocks: np.ndarray
+    wcol: np.ndarray
+    soff: np.ndarray
+    ntiles: int
+    max_cpt: int
+    n: int
+    npad: int
+    nnz: int
+
+    @classmethod
+    def from_csr(cls, A: CSR) -> "ChunkBsr":
+        import scipy.sparse as sp
+        n = A.shape[0]
+        ntiles = max((n + TILE - 1) // TILE, 3)
+        npad = ntiles * TILE
+        As = sp.csr_matrix((A.data, A.indices, A.indptr), shape=A.shape)
+        As.resize((npad, npad))
+        B = sp.bsr_matrix(As, blocksize=(BH, BS))
+        B.sort_indices()
+        nbr = npad // BH
+        counts = np.diff(B.indptr)
+        bcols = B.indices.astype(np.int64)
+        brows = np.repeat(np.arange(nbr), counts)
+        t_of = brows * BH // TILE
+        wlo = np.clip(t_of - 1, 0, ntiles - 3)
+        wc = bcols - wlo * RPT
+        if wc.min() < 0 or wc.max() >= 3 * RPT:
+            raise ValueError(
+                "operator bandwidth exceeds the 3-tile window — apply "
+                "Cuthill-McKee reordering first")
+        soff_all = (brows * BH - t_of * TILE).astype(np.int64)
+
+        # group blocks per (tile, window-col); chunk each group
+        order = np.lexsort((soff_all, wc, t_of))
+        per_tile_chunks = []
+        for t in range(ntiles):
+            sel = order[t_of[order] == t]
+            chunks = []
+            i = 0
+            while i < len(sel):
+                j = i + 1
+                w0 = wc[sel[i]]
+                while j < len(sel) and j - i < CHUNK and wc[sel[j]] == w0:
+                    j += 1
+                chunks.append((int(w0), sel[i:j]))
+                i = j
+            per_tile_chunks.append(chunks)
+        max_cpt = max(len(c) for c in per_tile_chunks)
+        blocks = np.zeros((ntiles, max_cpt, CHUNK * BH, BS),
+                          B.data.dtype)
+        wcol = np.ones((ntiles, max_cpt), np.int32)   # 1: any valid col
+        soff = np.zeros((ntiles, max_cpt, CHUNK), np.int32)
+        data = B.data
+        for t, chunks in enumerate(per_tile_chunks):
+            for ci, (w0, ids) in enumerate(chunks):
+                wcol[t, ci] = w0
+                for j, b in enumerate(ids):
+                    blocks[t, ci, j * BH:(j + 1) * BH] = data[b]
+                    soff[t, ci, j] = soff_all[b]
+        return cls(blocks, wcol, soff, ntiles, max_cpt, n, npad,
+                   int(A.nnz))
+
+    @property
+    def a_bytes(self) -> float:
+        """Streamed A planes (f32 re+im) per apply."""
+        return 8.0 * self.blocks.size
+
+    @property
+    def chunk_fill(self) -> float:
+        """Nonzero-block slots / streamed block slots."""
+        used = float(np.count_nonzero(
+            np.abs(self.blocks).reshape(self.ntiles, self.max_cpt, CHUNK,
+                                        BH * BS).sum(axis=3)))
+        return used / (self.ntiles * self.max_cpt * CHUNK)
+
+
+def _build_call(ntiles: int, max_cpt: int, r: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nt = ntiles
+    f32 = jnp.float32
+    hiP = jax.lax.Precision.HIGHEST
+
+    def kernel(wcol_ref, soff_ref, a_re, a_im, xm_re, xm_im, x0_re,
+               x0_im, xp_re, xp_im, y_re, y_im):
+        t = pl.program_id(0)
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            y_re[...] = jnp.zeros((1, TILE, r), f32)
+            y_im[...] = jnp.zeros((1, TILE, r), f32)
+
+        wc = wcol_ref[t, c]
+        third = wc // RPT
+        off = (wc % RPT) * BS
+
+        def rd(ref):
+            return lambda: ref[0, pl.ds(off, BS), :]
+
+        xg_r = jax.lax.switch(third, [rd(xm_re), rd(x0_re), rd(xp_re)])
+        xg_i = jax.lax.switch(third, [rd(xm_im), rd(x0_im), rd(xp_im)])
+        dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32,
+                                   precision=hiP)
+        Ar = a_re[0, 0]
+        Ai = a_im[0, 0]
+        zr = dot(Ar, xg_r) - dot(Ai, xg_i)      # [CHUNK*BH, r]
+        zi = dot(Ar, xg_i) + dot(Ai, xg_r)
+        for j in range(CHUNK):
+            so = soff_ref[t, c, j]
+            y_re[0, pl.ds(so, BH), :] += zr[j * BH:(j + 1) * BH]
+            y_im[0, pl.ds(so, BH), :] += zi[j * BH:(j + 1) * BH]
+
+    def wlo(t):
+        return jnp.clip(t - 1, 0, nt - 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,      # wcol, soff
+        grid=(nt, max_cpt),
+        in_specs=[
+            pl.BlockSpec((1, 1, CHUNK * BH, BS),
+                         lambda t, c, wc, so: (t, c, 0, 0)),
+            pl.BlockSpec((1, 1, CHUNK * BH, BS),
+                         lambda t, c, wc, so: (t, c, 0, 0)),
+            pl.BlockSpec((1, TILE, r), lambda t, c, wc, so: (wlo(t), 0, 0)),
+            pl.BlockSpec((1, TILE, r), lambda t, c, wc, so: (wlo(t), 0, 0)),
+            pl.BlockSpec((1, TILE, r),
+                         lambda t, c, wc, so: (wlo(t) + 1, 0, 0)),
+            pl.BlockSpec((1, TILE, r),
+                         lambda t, c, wc, so: (wlo(t) + 1, 0, 0)),
+            pl.BlockSpec((1, TILE, r),
+                         lambda t, c, wc, so: (wlo(t) + 2, 0, 0)),
+            pl.BlockSpec((1, TILE, r),
+                         lambda t, c, wc, so: (wlo(t) + 2, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TILE, r), lambda t, c, wc, so: (t, 0, 0)),
+            pl.BlockSpec((1, TILE, r), lambda t, c, wc, so: (t, 0, 0)),
+        ),
+    )
+    out_shape = (jax.ShapeDtypeStruct((nt, TILE, r), jnp.float32),
+                 jax.ShapeDtypeStruct((nt, TILE, r), jnp.float32))
+    try:
+        cparams = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024)
+    except TypeError:
+        cparams = None
+
+    @jax.jit
+    def call(wcol, soff, are, aim, xre, xim):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kernel, grid_spec=grid_spec, out_shape=out_shape,
+                interpret=interpret, compiler_params=cparams,
+            )(wcol, soff, are, aim, xre, xim, xre, xim, xre, xim)
+
+    return call
+
+
+class ChunkSpmm:
+    """Device windowed chunk-BSR SpMM: Y = A X, c64 semantics (same
+    interface as :class:`.window_spmm.WindowSpmm`)."""
+
+    def __init__(self, cb: ChunkBsr, nrhs: int = 128,
+                 interpret: bool = False):
+        import jax
+        import jax.numpy as jnp
+        self.cb = cb
+        self.nrhs = nrhs
+        self.n = cb.n
+        self.npad = cb.npad
+        b = cb.blocks.astype(np.complex64)
+        self.are = jax.device_put(jnp.asarray(np.ascontiguousarray(b.real)))
+        self.aim = jax.device_put(jnp.asarray(np.ascontiguousarray(b.imag)))
+        self.wcol = jax.device_put(jnp.asarray(cb.wcol))
+        self.soff = jax.device_put(jnp.asarray(cb.soff))
+        self._call = _build_call(cb.ntiles, cb.max_cpt, nrhs, interpret)
+        #: HBM bytes per apply: A planes + 3× panel in + panel out
+        self.stream_bytes = cb.a_bytes + 8.0 * cb.npad * nrhs * 4
+
+    def split_panels(self, X):
+        X = np.asarray(X)
+        Xp = np.zeros((self.npad, self.nrhs), np.complex64)
+        Xp[:X.shape[0]] = X
+        Xb = Xp.reshape(self.cb.ntiles, TILE, self.nrhs)
+        import jax.numpy as jnp
+        return (jnp.asarray(np.ascontiguousarray(Xb.real), jnp.float32),
+                jnp.asarray(np.ascontiguousarray(Xb.imag), jnp.float32))
+
+    def apply_split(self, x_re, x_im):
+        return self._call(self.wcol, self.soff, self.are, self.aim,
+                          x_re, x_im)
+
+    def __call__(self, X):
+        from ..utils.hostxfer import to_numpy
+        nl = np.asarray(X).shape[0]
+        yr, yi = self.apply_split(*self.split_panels(X))
+        Y = to_numpy(yr) + 1j * to_numpy(yi)
+        return Y.reshape(-1, self.nrhs)[:nl]
+
+    def chain_fn(self, m: int):
+        """m normalized applies in one device program (bench entry)."""
+        import jax
+        import jax.numpy as jnp
+
+        inner = self._call
+
+        @jax.jit
+        def chain(wcol, soff, are, aim, x_re, x_im):
+            def body(carry, _):
+                xr, xi = carry
+                yr, yi = inner(wcol, soff, are, aim, xr, xi)
+                s = 1.0 / jnp.maximum(
+                    jnp.sqrt(jnp.sum(yr * yr) + jnp.sum(yi * yi)), 1e-30)
+                return (yr * s, yi * s), 0
+            (yr, yi), _ = jax.lax.scan(body, (x_re, x_im), None, length=m)
+            return yr, yi
+
+        def call(x_re, x_im):
+            return chain(self.wcol, self.soff, self.are, self.aim,
+                         x_re, x_im)
+
+        return call
+
+
+__all__ = ["ChunkBsr", "ChunkSpmm", "TILE", "BS", "BH", "CHUNK"]
