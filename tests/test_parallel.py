@@ -190,3 +190,21 @@ def test_dist_spmm_panel(row_mesh):
     X = rng.standard_normal((193, 6)) + 1j * rng.standard_normal((193, 6))
     Y = unshard(spmm(shard(X)))
     assert np.allclose(Y, A @ X, atol=1e-11)
+
+
+def test_dist_gmres_strong_report_shape():
+    """Strong-scaling model: measured t_iter per split + exact comm
+    accounting; efficiencies monotone-decreasing and in (0, 1]."""
+    import numpy as np
+    from wavesandeigenvalues_jl_tpu.parallel.scaling import (
+        _banded_operator, dist_gmres_strong_report)
+
+    A = _banded_operator(2048, band=15)
+    rep = dist_gmres_strong_report(A, device_counts=(1, 4), l=1,
+                                   restart=8, max_restarts=1, bs=16)
+    recs = rep["records"]
+    assert [r["n_devices"] for r in recs] == [1, 4]
+    for r in recs:
+        assert 0.0 < r["strong_efficiency"] <= 1.0
+        assert r["t_iter_measured_s"] > 0
+    assert rep["halo_rows"] == 7
