@@ -222,15 +222,25 @@ def is_healthy(h) -> bool:
     return h[0] >= HEALTH_MIN_TFLOPS and h[1] >= HEALTH_MIN_GBPS
 
 
+#: global cap on cumulative health-waiting across the whole bench run —
+#: a fully-throttled chip must not blow the driver's wall-clock budget;
+#: sections that never see health get labeled invalid_throttled instead
+_WAIT_BUDGET_S = [2400.0]
+
+
 def wait_for_healthy_chip(jax, min_tflops=HEALTH_MIN_TFLOPS,
                           min_gbps=HEALTH_MIN_GBPS, max_wait_s=600.0):
     """Block until the chip measures healthy on BOTH axes (or give up).
-    Returns the last (tflops, GB/s) reading."""
-    t_end = time.time() + max_wait_s
+    Returns the last (tflops, GB/s) reading.  Draws from the global
+    wait budget."""
+    max_wait_s = min(max_wait_s, max(_WAIT_BUDGET_S[0], 0.0))
+    t0 = time.time()
+    t_end = t0 + max_wait_s
     h = chip_health(jax)
     while (h[0] < min_tflops or h[1] < min_gbps) and time.time() < t_end:
         time.sleep(15)
         h = chip_health(jax)
+    _WAIT_BUDGET_S[0] -= time.time() - t0
     return h
 
 
