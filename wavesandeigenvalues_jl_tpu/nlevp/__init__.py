@@ -27,7 +27,8 @@ from .solvers import (beyn, compute_moment_matrices, count_poles_and_zeros,
                       guettel, householder, householder_update, initialize_V,
                       inpoly, inveriter, juniper, lancaster, mehrmann,
                       moments2eigs, mslp, nicoud, padesolve, picard, pos_test,
-                      rf2s, solve, traceiter, wn)
+                      rf2s, row_equilibrated_residual, solve, traceiter,
+                      verify_eigenpairs, wn)
 from . import gallery
 
 # reference-compatible aliases
