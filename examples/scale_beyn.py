@@ -254,6 +254,7 @@ def main():
              for fc in f_coarse]
     rec = {
         "nsplit": args.nsplit,
+        "max_solve_relres": minfo.get("max_relres"),
         "device_kind": jax.devices()[0].device_kind,
         "method": args.method,
         "fine_dim": int(Lf.size),
