@@ -61,3 +61,22 @@ if len(jax.devices()) >= 4 or len(jax.devices("cpu")) >= 4:
     ge.dryrun_multichip(4)
     print("4-device sharded train step: compiled + executed OK")
 print("OK")
+
+# ── scaling statements (round 5): exact per-iteration communication
+# accounting for the composed row-sharded GMRES, plus the strong-scaling
+# model with MEASURED per-split compute times (the per-iteration
+# overhead floor that ideal scaling ignores is kept).
+from wavesandeigenvalues_jl_tpu.parallel.scaling import (
+    dist_gmres_strong_report, gmres_comm_accounting)
+acc = gmres_comm_accounting(n=A.shape[0], P=4, halo=bandwidth(Ar), l=2,
+                            restart=20, max_restarts=2)
+print(f"per-matvec halo: {acc['ppermute_hops_per_matvec']} ppermute hops, "
+      f"{acc['halo_bytes_per_matvec_per_col']} B/col; "
+      f"{acc['psums_per_arnoldi_iter']} psums/iter")
+rep = dist_gmres_strong_report(Ar, device_counts=(1, 4), l=1, restart=8,
+                               max_restarts=1, bs=16)
+for r in rep["records"]:
+    print(f"  strong scaling P={r['n_devices']}: "
+          f"eff {r['strong_efficiency']:.2f} "
+          f"(comm fraction {r['comm_fraction']:.3f})")
+print("OK scaling")
