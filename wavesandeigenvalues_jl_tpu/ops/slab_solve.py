@@ -129,18 +129,39 @@ class SlabPartition:
         aptr, nbrs = adjacency_from_csr(A)
         lvl = bfs_levels(aptr, nbrs, n)
         sizes = np.bincount(lvl)
-        if target is None:
-            target = int(sizes.max())
+
         # greedy merge of consecutive levels (edges only ever span one
         # level, so merged slabs stay tridiagonal)
-        slab_of_level = np.empty(len(sizes), np.int64)
-        cur, acc = 0, 0
-        for k, sz in enumerate(sizes):
-            if acc and acc + sz > target:
-                cur += 1
-                acc = 0
-            slab_of_level[k] = cur
-            acc += sz
+        def merge(tgt):
+            slab_of_level = np.empty(len(sizes), np.int64)
+            cur, acc = 0, 0
+            for k, sz in enumerate(sizes):
+                if acc and acc + sz > tgt:
+                    cur += 1
+                    acc = 0
+                slab_of_level[k] = cur
+                acc += sz
+            return slab_of_level
+
+        if target is None:
+            # auto-target: the stored block inverses cost m·smax² HBM
+            # bytes per shift (re-read every refinement sweep — the
+            # dominant resolve traffic) and the factorization m·smax³
+            # flops; levels padded to the widest slab waste both, so
+            # search merge targets for the one minimizing m·smax²
+            # (tridiagonality holds for ANY consecutive-level merge)
+            base = int(sizes.max())
+            best_cost = None
+            for mult in (1.0, 1.25, 1.5, 1.75, 2.0, 2.5, 3.0):
+                tgt = int(base * mult)
+                sol = merge(tgt)
+                sl = sol[lvl]
+                m_ = int(sl.max()) + 1
+                smax_ = int(np.bincount(sl, minlength=m_).max())
+                cost = m_ * smax_ * smax_
+                if best_cost is None or cost < best_cost:
+                    best_cost, target = cost, tgt
+        slab_of_level = merge(target)
         slab = slab_of_level[lvl]
         self.m = int(slab.max()) + 1
         self.sizes = np.bincount(slab, minlength=self.m)
@@ -537,6 +558,18 @@ class SlabSolver:
         return self._sp.csr_matrix((data, self._indices, self._indptr),
                                    shape=(self.n, self.n))
 
+    def _resid_matvec(self, mat, Xj):
+        """Host residual SpMM — native multithreaded kernel when built
+        (the in-refine-loop residuals run on the 2-core host inside the
+        device wall; scipy's single-threaded matvec was a visible slice
+        of device_s at chunk=16×l=8)."""
+        from .. import native
+        if native.available():
+            Y = native.csr_spmm(mat.indptr, mat.indices, mat.data, Xj)
+            if Y is not None:
+                return Y
+        return mat @ Xj
+
     def _auto_chunk(self) -> int:
         per_shift = (2 * self.part.m * self.part.smax ** 2    # Dtinv planes
                      + 2 * self.part.m * self.part.smax * 8   # y planes
@@ -721,7 +754,8 @@ class SlabSolver:
             R = np.empty_like(bsc)
             best_res = np.empty((chunk, l))
             for j in range(chunk):
-                R[j, :self.n] = (b[j] - mats[j] @ best[j]) * srow[j][:, None]
+                R[j, :self.n] = ((b[j] - self._resid_matvec(mats[j], best[j]))
+                                 * srow[j][:, None])
                 R[j, self.n] = 0.0
                 best_res[j] = np.linalg.norm(R[j], axis=0) / bnorm[j]
             t3 = time.perf_counter()
@@ -747,7 +781,8 @@ class SlabSolver:
                 cand = best + dX
                 for j in range(chunk):
                     Rc = np.zeros_like(R[j])
-                    Rc[:self.n] = ((b[j] - mats[j] @ cand[j])
+                    Rc[:self.n] = ((b[j]
+                                    - self._resid_matvec(mats[j], cand[j]))
                                    * srow[j][:, None])
                     rc = np.linalg.norm(Rc, axis=0) / bnorm[j]
                     upd = rc < best_res[j]
