@@ -87,7 +87,7 @@ def _build_slab_step_fn(meta, thomas):
 
     @jax.jit
     def step(rows2, cols2, vals_r, vals_i, cr, ci, dcr, dci, sr, si,
-             mdat_r, mdat_i, fdest2, ell2, rmap, src, sizes,
+             mdat_r, mdat_i, fdest2, ell2, cell2, rmap, src, sizes,
              vr, vi, wr, wi):
         # ---- device-side assembly (f64 pairs) ---------------------------
         def contract(cr_, ci_, Vr, Vi):
@@ -176,13 +176,21 @@ def _build_slab_step_fn(meta, thomas):
             xi_ = xi_.reshape(2, m * s)[:, src]
             return ((xr_[0], xi_[0]), (xr_[1], xi_[1]))
 
-        # ---- f64-pair helpers (identical to fused_local) ----------------
+        # ---- f64-pair helpers -------------------------------------------
+        # ELL gather+row-reduce instead of scatter-add: the f64-emulated
+        # scatters cost ~ms each on this runtime (CLAUDE r4 lesson) and
+        # the step runs ~10 of them; the entry-id ELL map (ell2) and the
+        # per-slot column map (cell2) turn each SpMV into two gathers +
+        # one row reduction.
         def pair_spmv(side, dr, di, xr_, xi_):
-            z = jnp.zeros(n, xr_.dtype)
-            r_, c_ = rows2[side], cols2[side]
-            xr_g, xi_g = xr_[c_], xi_[c_]
-            yr = z.at[r_].add(dr * xr_g - di * xi_g)
-            yi = z.at[r_].add(dr * xi_g + di * xr_g)
+            ids = ell2[side]                         # [n, w] (sentinel nnz)
+            dpr = jnp.concatenate([dr, jnp.zeros(1, dr.dtype)])[ids]
+            dpi = jnp.concatenate([di, jnp.zeros(1, di.dtype)])[ids]
+            cg = cell2[side]                         # [n, w] (sentinel 0)
+            xr_g = xr_[cg]
+            xi_g = xi_[cg]
+            yr = jnp.sum(dpr * xr_g - dpi * xi_g, axis=1)
+            yi = jnp.sum(dpr * xi_g + dpi * xr_g, axis=1)
             return yr, yi
 
         def pair_dot(wr_, wi_, yr, yi):                      # wᴴ y
@@ -350,7 +358,13 @@ class FusedSlabPencilSolver:
             out[:, :a.shape[1]] = a
             return out
 
-        self.ell2 = jax.device_put(np.stack([padw(ell0), padw(ell1)]))
+        ell2h = np.stack([padw(ell0), padw(ell1)])
+        self.ell2 = jax.device_put(ell2h)
+        # per-slot COLUMN map (sentinel slot -> col 0; its data is 0)
+        colpad0 = np.concatenate([cols, [0]]).astype(np.int32)
+        colpad1 = np.concatenate([cols_h, [0]]).astype(np.int32)
+        self.cell2 = jax.device_put(np.stack([colpad0[ell2h[0]],
+                                              colpad1[ell2h[1]]]))
         self.rmap = jax.device_put(rmap)
         self.src = jax.device_put(src)
         self.sizes = jax.device_put(part.sizes.astype(np.int32))
@@ -390,8 +404,8 @@ class FusedSlabPencilSolver:
         out = self._step_fn(self.rows2, self.cols2, self.vals_r,
                             self.vals_i, cr, ci, dcr, dci, sr, si,
                             self.mdat_r, self.mdat_i, self.fdest2,
-                            self.ell2, self.rmap, self.src, self.sizes,
-                            vr, vi, wr, wi)
+                            self.ell2, self.cell2, self.rmap, self.src,
+                            self.sizes, vr, vi, wr, wi)
         scal, vr, vi, wr, wi = out
         sc = np.asarray(scal, np.float64)
         dz = complex(sc[0], sc[1])
