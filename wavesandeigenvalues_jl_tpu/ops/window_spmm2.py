@@ -153,7 +153,10 @@ def _build_call(ntiles: int, max_cpt: int, r: int, interpret: bool):
             y_re[...] = jnp.zeros((1, TILE, r), f32)
             y_im[...] = jnp.zeros((1, TILE, r), f32)
 
-        wc = wcol_ref[t, c]
+        # metadata loads: dynamic index on the SUBLANE dim, lane static
+        # (dynamic lane indexing does not lower)
+        flat = t * max_cpt + c
+        wc = wcol_ref[flat, 0]
         third = wc // RPT
         off = (wc % RPT) * BS
 
@@ -169,36 +172,32 @@ def _build_call(ntiles: int, max_cpt: int, r: int, interpret: bool):
         zr = dot(Ar, xg_r) - dot(Ai, xg_i)      # [CHUNK*BH, r]
         zi = dot(Ar, xg_i) + dot(Ai, xg_r)
         for j in range(CHUNK):
-            so = soff_ref[t, c, j]
+            so = soff_ref[flat, j]
             y_re[0, pl.ds(so, BH), :] += zr[j * BH:(j + 1) * BH]
             y_im[0, pl.ds(so, BH), :] += zi[j * BH:(j + 1) * BH]
 
     def wlo(t):
         return jnp.clip(t - 1, 0, nt - 3)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,      # wcol, soff
-        grid=(nt, max_cpt),
-        in_specs=[
-            pl.BlockSpec((1, 1, CHUNK * BH, BS),
-                         lambda t, c, wc, so: (t, c, 0, 0)),
-            pl.BlockSpec((1, 1, CHUNK * BH, BS),
-                         lambda t, c, wc, so: (t, c, 0, 0)),
-            pl.BlockSpec((1, TILE, r), lambda t, c, wc, so: (wlo(t), 0, 0)),
-            pl.BlockSpec((1, TILE, r), lambda t, c, wc, so: (wlo(t), 0, 0)),
-            pl.BlockSpec((1, TILE, r),
-                         lambda t, c, wc, so: (wlo(t) + 1, 0, 0)),
-            pl.BlockSpec((1, TILE, r),
-                         lambda t, c, wc, so: (wlo(t) + 1, 0, 0)),
-            pl.BlockSpec((1, TILE, r),
-                         lambda t, c, wc, so: (wlo(t) + 2, 0, 0)),
-            pl.BlockSpec((1, TILE, r),
-                         lambda t, c, wc, so: (wlo(t) + 2, 0, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, TILE, r), lambda t, c, wc, so: (t, 0, 0)),
-            pl.BlockSpec((1, TILE, r), lambda t, c, wc, so: (t, 0, 0)),
-        ),
+    # metadata lives as WHOLE VMEM-resident int32 arrays (~200 KB at the
+    # 57k bench size): scalar-prefetch SMEM charges ~64 B per entry and
+    # overflowed its 1 MB budget at this chunk count (measured); VMEM
+    # scalar loads driving pl.ds lower fine on this toolchain (probed)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),             # wcol (full)
+        pl.BlockSpec(memory_space=pltpu.VMEM),             # soff (full)
+        pl.BlockSpec((1, 1, CHUNK * BH, BS), lambda t, c: (t, c, 0, 0)),
+        pl.BlockSpec((1, 1, CHUNK * BH, BS), lambda t, c: (t, c, 0, 0)),
+        pl.BlockSpec((1, TILE, r), lambda t, c: (wlo(t), 0, 0)),
+        pl.BlockSpec((1, TILE, r), lambda t, c: (wlo(t), 0, 0)),
+        pl.BlockSpec((1, TILE, r), lambda t, c: (wlo(t) + 1, 0, 0)),
+        pl.BlockSpec((1, TILE, r), lambda t, c: (wlo(t) + 1, 0, 0)),
+        pl.BlockSpec((1, TILE, r), lambda t, c: (wlo(t) + 2, 0, 0)),
+        pl.BlockSpec((1, TILE, r), lambda t, c: (wlo(t) + 2, 0, 0)),
+    ]
+    out_specs = (
+        pl.BlockSpec((1, TILE, r), lambda t, c: (t, 0, 0)),
+        pl.BlockSpec((1, TILE, r), lambda t, c: (t, 0, 0)),
     )
     out_shape = (jax.ShapeDtypeStruct((nt, TILE, r), jnp.float32),
                  jax.ShapeDtypeStruct((nt, TILE, r), jnp.float32))
@@ -213,7 +212,8 @@ def _build_call(ntiles: int, max_cpt: int, r: int, interpret: bool):
     def call(wcol, soff, are, aim, xre, xim):
         with jax.enable_x64(False):
             return pl.pallas_call(
-                kernel, grid_spec=grid_spec, out_shape=out_shape,
+                kernel, grid=(nt, max_cpt), in_specs=in_specs,
+                out_specs=out_specs, out_shape=out_shape,
                 interpret=interpret, compiler_params=cparams,
             )(wcol, soff, are, aim, xre, xim, xre, xim, xre, xim)
 
@@ -235,8 +235,11 @@ class ChunkSpmm:
         b = cb.blocks.astype(np.complex64)
         self.are = jax.device_put(jnp.asarray(np.ascontiguousarray(b.real)))
         self.aim = jax.device_put(jnp.asarray(np.ascontiguousarray(b.imag)))
-        self.wcol = jax.device_put(jnp.asarray(cb.wcol))
-        self.soff = jax.device_put(jnp.asarray(cb.soff))
+        nc = cb.ntiles * cb.max_cpt
+        self.wcol = jax.device_put(jnp.asarray(
+            cb.wcol.reshape(nc, 1)))
+        self.soff = jax.device_put(jnp.asarray(
+            cb.soff.reshape(nc, CHUNK)))
         self._call = _build_call(cb.ntiles, cb.max_cpt, nrhs, interpret)
         #: HBM bytes per apply: A planes + 3× panel in + panel out
         self.stream_bytes = cb.a_bytes + 8.0 * cb.npad * nrhs * 4
