@@ -650,6 +650,12 @@ def main():
     if os.path.exists(t2_path):
         with open(t2_path) as f:
             tier2 = json.load(f)
+    t2_readj = None
+    rd_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "TIER2_READJUDICATION.json")
+    if os.path.exists(rd_path):
+        with open(rd_path) as f:
+            t2_readj = json.load(f)
 
     best_rec = sweep[best]
     # small headline summary of the scale artifact (full detail goes to
@@ -779,6 +785,7 @@ def main():
         "scale_artifact": scale,
         "scale_summary": scale_summary,
         "scale_tier2_artifact": tier2,
+        "tier2_readjudication": t2_readj,
         "chip_health_at_start": (None if health is None else {
             "bf16_tflops": health[0], "hbm_gbps": health[1]}),
         "headline": result,
