@@ -16,7 +16,16 @@ Two jobs in one artifact (TIER2_READJUDICATION.json):
 
 Each mslp iteration is one 313k sparse LU (~6 min, the reference's
 UMFPACK compute model — beyn.jl:62-74); everything runs on host CPUs.
+
+``--only name1,name2`` restricts to a candidate subset and MERGES the
+new records into an existing TIER2_READJUDICATION.json (a full polish
+is ~1 h/candidate on the 2-core host, so candidates are adjudicated
+incrementally); ``--maxiter k`` bounds the Newton steps — one step is
+already decisive for spuriousness when the eigenvalue update is large
+(a real mode's first update is ~1e-2 Hz here, a spurious candidate's
+is ~Hz).
 """
+import argparse
 import json
 import os
 import sys
@@ -29,6 +38,13 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated candidate names; merge into "
+                         "the existing artifact instead of overwriting")
+    ap.add_argument("--maxiter", type=int, default=4)
+    args = ap.parse_args()
+
     import jax
     jax.config.update("jax_platforms", "cpu")
 
@@ -60,12 +76,23 @@ def main():
         ("r4_t2_693.32", 693.315039458943),
         ("r4_t2_694.41", 694.4055546616016),
     ]
-    out = {"dim": int(L.size), "nnz": int(L._stack().nnz), "modes": []}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        os.pardir, "TIER2_READJUDICATION.json")
+    if args.only:
+        names = set(args.only.split(","))
+        candidates = [c for c in candidates if c[0] in names]
+        with open(path) as f:
+            out = json.load(f)
+    else:
+        out = {"dim": int(L.size), "nnz": int(L._stack().nnz), "modes": []}
     for name, f_hz in candidates:
         t0 = time.time()
         rec = {"name": name, "start_hz": f_hz}
+        if args.maxiter != 4:
+            rec["maxiter"] = args.maxiter
         try:
-            sol, its, flag = mslp(L, 2 * np.pi * f_hz, maxiter=4, tol=1e-9)
+            sol, its, flag = mslp(L, 2 * np.pi * f_hz,
+                                  maxiter=args.maxiter, tol=1e-9)
             om = sol.params[sol.eigval]
             req = row_equilibrated_residual(L(complex(om)), sol.v)
             rec.update({
@@ -77,10 +104,9 @@ def main():
         except Exception as e:
             rec["error"] = f"{type(e).__name__}: {e}"
         rec["wall_s"] = time.time() - t0
+        out["modes"] = [m for m in out["modes"] if m["name"] != name]
         out["modes"].append(rec)
         print(json.dumps(rec), flush=True)
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            os.pardir, "TIER2_READJUDICATION.json")
         with open(path, "w") as f:       # write incrementally: each mode
             json.dump(out, f, indent=1)  # is evidence on its own
     print("done")
