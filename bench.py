@@ -271,6 +271,31 @@ def stamped_section(jax, on_device: bool, fn, retries: int = 2,
     return last
 
 
+#: driver-contract guard (VERDICT r4 #1a): the driver captures a
+#: 2,000-char output tail; the contract line must stay under this
+CONTRACT_LINE_LIMIT = 1800
+
+
+def headline_throttle_flag(large: dict, best_rec: dict) -> bool:
+    """True when the section backing the headline metric ran throttled.
+
+    ``large`` is the HBM-regime record (headline when it has nnz_per_s,
+    possibly {'error': ...} otherwise) and ``best_rec`` the best
+    cache-resident sweep record (the fallback headline)."""
+    if "nnz_per_s" in large:
+        return bool(large.get("invalid_throttled",
+                              best_rec.get("invalid_throttled", False)))
+    return bool(best_rec.get("invalid_throttled", False))
+
+
+def check_contract_line(line: str) -> str:
+    """Refuse to print a contract line the driver would truncate."""
+    assert len(line) < CONTRACT_LINE_LIMIT, (
+        f"bench contract line {len(line)} chars >= {CONTRACT_LINE_LIMIT}"
+        " — move detail into BENCH_DETAIL.json")
+    return line
+
+
 def main():
     import jax
 
@@ -740,11 +765,7 @@ def main():
     # section stamps to know whether "value" ran in the healthy regime
     # (the shared v5e throttles 20-200x for hours; the host baseline in
     # vs_baseline is NOT throttled, so a throttled ratio collapses too)
-    headline_throttled = bool(
-        large.get("invalid_throttled",
-                  sweep.get(best, {}).get("invalid_throttled", False))
-        if "nnz_per_s" in large
-        else sweep.get(best, {}).get("invalid_throttled", False))
+    headline_throttled = headline_throttle_flag(large, sweep.get(best, {}))
     result = {
         "metric": metric,
         "value": _round(headline_value),
@@ -812,13 +833,7 @@ def main():
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
-    line = json.dumps(result)
-    # hard driver-contract guard (VERDICT r4 #1a): the capture window is
-    # 2,000 chars; refuse to grow past it ever again
-    assert len(line) < 1800, (
-        f"bench contract line {len(line)} chars >= 1800 — move detail "
-        "into BENCH_DETAIL.json")
-    print(line)
+    print(check_contract_line(json.dumps(result)))
 
 
 if __name__ == "__main__":
