@@ -417,6 +417,7 @@ def main():
     accuracy = {}
     ref_msh = "/root/reference/docs/src/Rijke_mm.msh"
     if os.path.exists(ref_msh):
+      try:
         from wavesandeigenvalues_jl_tpu.mesh import read_mesh
         from wavesandeigenvalues_jl_tpu.models import discretize
         from wavesandeigenvalues_jl_tpu.nlevp import mslp
@@ -478,6 +479,8 @@ def main():
         accuracy["device_abs_err_vs_ref_rad_s"] = abs(
             sol_d.params["ω"] - om_ref)
         accuracy["device_section"] = eig_stamps
+      except Exception as e:  # surface, don't hide — the contract line
+        accuracy["error"] = f"{type(e).__name__}: {e}"  # must still print
 
     # --- device eigensolve AT THE BENCH DIM (VERDICT r4 #5b) -------------
     # mslp on the 7,259-DOF passive bench operator: host sparse-LU engine
@@ -747,20 +750,31 @@ def main():
     # headline metric, the accuracy numbers, and per-section health
     # stamps; everything else (bs sweep, scale/tier2/dist records) lives
     # in BENCH_DETAIL.json.
+    def _short_err(s, n=160):
+        # error strings can carry multi-KB tracebacks (e.g. the axon
+        # remote-compile HTTP 500 logs ~4.4 KB) — truncated in the
+        # contract line, full text stays in BENCH_DETAIL.json
+        return s if not isinstance(s, str) or len(s) <= n else s[:n] + "…"
+
     acc_slim = {k: _round(accuracy[k]) for k in
                 ("abs_err_vs_ref_rad_s", "eigensolve_wall_s",
                  "eigensolve_iters", "eigensolve_wall_s_device",
                  "eigensolve_iters_device", "device_abs_err_vs_ref_rad_s")
                 if k in accuracy}
+    if "error" in accuracy:
+        acc_slim["error"] = _short_err(accuracy["error"])
     if "device_section" in accuracy:
         acc_slim["device_health"] = _stamps_slim(accuracy["device_section"])
-    eig7k_slim = (dict(eig7k) if ("error" in eig7k or "skipped" in eig7k)
-                  else {
-        **{k: _round(eig7k[k]) for k in
-           ("dim", "wall_s_host", "wall_s_device",
-            "device_abs_err_vs_host_rad_s") if k in eig7k},
-        "health": _stamps_slim(eig7k),
-    })
+
+    eig7k_slim = (
+        {k: _short_err(v) for k, v in eig7k.items()}
+        if ("error" in eig7k or "skipped" in eig7k)
+        else {
+            **{k: _round(eig7k[k]) for k in
+               ("dim", "wall_s_host", "wall_s_device",
+                "device_abs_err_vs_host_rad_s") if k in eig7k},
+            "health": _stamps_slim(eig7k),
+        })
     # top-level throttle label: the judge must not need to dig into the
     # section stamps to know whether "value" ran in the healthy regime
     # (the shared v5e throttles 20-200x for hours; the host baseline in
@@ -778,7 +792,7 @@ def main():
             "accuracy": acc_slim,
             "eigensolve_7k": eig7k_slim,
             "hbm_roofline": {
-                **{k: _round(large.get(k)) for k in
+                **{k: _short_err(_round(large.get(k))) for k in
                    ("kernel", "dim", "working_set_MB", "nnz_per_s",
                     "achieved_GBps", "roofline_frac", "rel_err_vs_host",
                     "error")
@@ -797,8 +811,9 @@ def main():
                 "value": 3.7083686748e10, "vs_baseline": 61.8}}
                if headline_throttled else {}),
             "strong_scaling": (
-                {"error": strong.get("error")} if (strong is None
-                                                   or "error" in strong)
+                {"error": _short_err(strong.get("error")
+                                     if strong else "section did not run")}
+                if (strong is None or "error" in strong)
                 else {
                     "backend": strong["backend"],
                     "eff": {str(r["n_devices"]):
